@@ -1,0 +1,297 @@
+"""Neural building blocks (flax.linen, channels-last).
+
+Rebuilds the block library of the reference op file
+(/root/reference/CVSR_train/arch/CVSR_freq.py:234-922) with TPU-idiomatic
+NHWC layouts.  Parameter initialisation matches torch defaults
+(kaiming-uniform a=sqrt(5) + uniform bias) so train-from-scratch recipes
+behave like the reference; blocks that the reference re-initialises with
+``initialize_weights(scale)`` (kaiming-normal fan-in x scale, zero bias —
+CVSR_freq.py:635-653) take an ``init_scale``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import downsample2x_bilinear, upsample2x_bilinear
+
+__all__ = [
+    "Conv2d",
+    "PReLU",
+    "LayerNorm2d",
+    "CALayer",
+    "ConvBlk",
+    "ContextBlock",
+    "RCB",
+    "BlockRCB",
+    "SCGroup",
+    "SCNet",
+    "DivEnh",
+    "pixel_shuffle",
+]
+
+
+def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _kaiming_normal_scaled(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] * shape[1] * shape[2]
+        std = math.sqrt(2.0 / fan_in) * scale
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """2-D conv with torch-compatible symmetric padding and init.
+
+    Padding is explicit ``(k//2, k//2)`` per spatial axis (torch semantics for
+    odd kernels, including stride-2 downsamples where XLA 'SAME' would pad
+    asymmetrically).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    groups: int = 1
+    init_scale: Optional[float] = None  # None => torch default init
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = k // 2
+        in_features = x.shape[-1]
+        fan_in = (in_features // self.groups) * k * k
+        if self.init_scale is None:
+            kernel_init = _torch_conv_kernel_init
+            bound = 1.0 / math.sqrt(fan_in)
+            bias_init = (
+                lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                    key, shape, dtype, -bound, bound
+                )
+            )
+        else:
+            kernel_init = _kaiming_normal_scaled(self.init_scale)
+            bias_init = nn.initializers.zeros
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single shared slope (torch ``nn.PReLU()``)."""
+
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda *_: jnp.full((1,), self.init_value, jnp.float32))
+        return jnp.maximum(x, 0) + alpha.astype(x.dtype) * jnp.minimum(x, 0)
+
+
+class LayerNorm2d(nn.Module):
+    """Channel layer-norm over the feature axis (reference ``LayerNorm2d``,
+    CVSR_freq.py:234-270: biased variance, eps inside the sqrt)."""
+
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        y = (x - mu) / jnp.sqrt(var + self.eps)
+        return y * weight.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class CALayer(nn.Module):
+    """Squeeze-and-excite channel attention (CVSR_freq.py:271-287)."""
+
+    channel: int
+    reduction: int = 16
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = Conv2d(self.channel // self.reduction, 1, use_bias=self.use_bias, name="down")(y)
+        y = nn.relu(y)
+        y = Conv2d(self.channel, 1, use_bias=self.use_bias, name="up")(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class ConvBlk(nn.Module):
+    """conv-PReLU-conv with additive (not residual-input) CA
+    (CVSR_freq.py:344-357); kernel size 2*index+1."""
+
+    dim: int
+    index: int
+    res_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        k = 2 * self.index + 1
+        out = Conv2d(self.dim, k, use_bias=False, name="conv1")(x)
+        out = PReLU(name="relu")(out)
+        out = Conv2d(self.dim, k, use_bias=False, name="conv2")(out)
+        ca = CALayer(self.dim, reduction=1, name="CA")(out)
+        return ca * self.res_scale + out
+
+
+class ContextBlock(nn.Module):
+    """Global-context block (CVSR_freq.py:657-701)."""
+
+    n_feat: int
+    use_bias: bool = False
+    init_scale: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        mask = Conv2d(1, 1, use_bias=self.use_bias, init_scale=self.init_scale,
+                      name="conv_mask")(x)
+        mask = jax.nn.softmax(mask.reshape(b, h * w), axis=-1)
+        context = jnp.einsum("bpc,bp->bc", x.reshape(b, h * w, c), mask)
+        context = context[:, None, None, :]
+        term = Conv2d(self.n_feat, 1, use_bias=self.use_bias,
+                      init_scale=self.init_scale, name="add0")(context)
+        term = jax.nn.leaky_relu(term, 0.2)
+        term = Conv2d(self.n_feat, 1, use_bias=self.use_bias,
+                      init_scale=self.init_scale, name="add1")(term)
+        return x + term
+
+
+class RCB(nn.Module):
+    """Residual context block (CVSR_freq.py:705-725)."""
+
+    n_feat: int
+    init_scale: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x):
+        res = Conv2d(self.n_feat, 3, use_bias=False, init_scale=self.init_scale,
+                     name="body0")(x)
+        res = jax.nn.leaky_relu(res, 0.2)
+        res = Conv2d(self.n_feat, 3, use_bias=False, init_scale=self.init_scale,
+                     name="body1")(res)
+        res = ContextBlock(self.n_feat, init_scale=self.init_scale, name="gcnet")(res)
+        res = jax.nn.leaky_relu(res, 0.2)
+        return x + res
+
+
+class BlockRCB(nn.Module):
+    """Cross-scale residual block over an [L1, L2, L3] pyramid
+    (CVSR_freq.py:729-777).  The body/down/up convs are re-initialised with
+    kaiming-normal x 0.1 in the reference; we honour that."""
+
+    nf: int
+    width_multiplier: int = 2
+
+    @nn.compact
+    def __call__(self, x_list: Sequence[jnp.ndarray]):
+        body0 = Conv2d(self.nf * self.width_multiplier, 3, init_scale=0.1, name="body0")
+        body1 = Conv2d(self.nf, 3, init_scale=0.1, name="body1")
+        rcb = RCB(self.nf, init_scale=0.1, name="rcb")
+        down_conv = Conv2d(self.nf, 1, init_scale=0.1, name="down")
+        up_conv = Conv2d(self.nf, 1, init_scale=0.1, name="up")
+
+        def body(x):
+            y = body0(x)
+            y = jax.nn.leaky_relu(y, 0.1)
+            y = body1(y)
+            return rcb(y)
+
+        res = [body(x) for x in x_list]
+        down_res = [res[0]] + [downsample2x_bilinear(down_conv(r)) for r in res[:-1]]
+        up_res = [upsample2x_bilinear(up_conv(r)) for r in res[1:]] + [res[-1]]
+        return [x + r + d + u for x, r, d, u in zip(x_list, res, down_res, up_res)]
+
+
+class SCGroup(nn.Module):
+    """Group of BlockRCBs + one conv shared across scales (CVSR_freq.py:781-803)."""
+
+    nf: int
+    back_rbs: int = 3
+
+    @nn.compact
+    def __call__(self, x_list):
+        res = list(x_list)
+        for i in range(self.back_rbs):
+            res = BlockRCB(self.nf, name=f"block{i}")(res)
+        conv = Conv2d(self.nf, 3, name="conv")
+        res = [conv(r) for r in res]
+        return [x + r for x, r in zip(x_list, res)]
+
+
+class SCNet(nn.Module):
+    """Stack of SCGroups with outer residual (CVSR_freq.py:807-822)."""
+
+    nf: int
+    num_groups: int = 10
+
+    @nn.compact
+    def __call__(self, x_list):
+        res = list(x_list)
+        for i in range(self.num_groups):
+            res = SCGroup(self.nf, name=f"group{i}")(res)
+        return [x + r for x, r in zip(x_list, res)]
+
+
+class DivEnh(nn.Module):
+    """Per-band detail enhancement (CVSR_freq.py:2104-2133).
+
+    The reference defines a 3x3 conv + sigmoid that the shipped forward never
+    calls (commented out); we omit them so the parameter tree holds only live
+    weights.  Callers pass pre-summed lower-band context.
+    """
+
+    channel: int
+
+    @nn.compact
+    def __call__(self, x, x_before_sum=None, ex_before_sum=None):
+        a = self.param("a", nn.initializers.zeros, (self.channel,))
+        b = self.param("b", nn.initializers.ones, (self.channel,))
+        ca = CALayer(self.channel, name="ca")
+        a = a.astype(x.dtype)
+        b = b.astype(x.dtype)
+        if x_before_sum is None:
+            out = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+            return ca(0.2 * a * out * x + b * x)
+        out = x - x_before_sum + 0.2 * ex_before_sum
+        out1 = ca(0.2 * a * out * x + b * x)
+        out2 = ca(0.2 * a * ex_before_sum * x + b * x)
+        return out1 + out2
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Depth-to-space matching torch PixelShuffle channel order.
+
+    x: (B, H, W, C*r*r) with channel index c*r*r + i*r + j  ->  (B, H*r, W*r, C).
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+    return x.reshape(b, h * r, w * r, c)

@@ -1,0 +1,63 @@
+"""Frequency-feature correlation lookup (bug-compatible CorrBlock).
+
+Reference: CVSR_freq.py:1279-1360 (/root/reference/CVSR_train/arch).
+
+The reference builds a RAFT-style correlation "volume" from an *elementwise*
+product of the two frequency features and then reinterprets the contiguous
+(B, C, H*W) buffer as (B, H, W, 1, C//2, 2) — a raw memory reshape with no
+semantic transpose.  It then samples a (2r+1)^2 neighbourhood around the
+identity grid from each per-pixel (C//2, 2) map with ``grid_sample``
+(align_corners=True, zero padding).  Because the grid coordinates are
+integers, bilinear sampling degenerates to exact lookups with zeros outside
+the tiny (C//2, 2) extent — i.e. only pixels with w <= r+1 and h+dy < C//2
+produce non-zero features.  Shipped checkpoints were trained with these
+semantics, so we reproduce them exactly (without the grid_sample detour: a
+single masked take_along_axis).
+
+Inputs are channels-last (B, H, W, C); output is (B, H, W, (2r+1)^2) with
+query index q = (dy+r)*(2r+1) + (dx+r), matching the torch channel order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["corr_lookup"]
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup_tables(h: int, w: int, half_c: int, radius: int):
+    """Precompute flat channel indices + validity mask, shapes (H, W, Q).
+
+    One more reference quirk reproduced here: the (2r+1)^2 delta grid is
+    built (dy, dx)-ordered but added to (x, y)-ordered coordinates
+    (CVSR_freq.py:1303-1309 vs 1343), so the *row* of the query grid offsets
+    the x coordinate and the *column* offsets y.
+    """
+    n = 2 * radius + 1
+    hh = np.arange(h)[:, None, None]
+    ww = np.arange(w)[None, :, None]
+    q = np.arange(n * n)[None, None, :]
+    off_x = q // n - radius  # delta[..., 0] = dy values -> added to x
+    off_y = q % n - radius  # delta[..., 1] = dx values -> added to y
+    ii = hh + off_y
+    jj = ww + off_x
+    valid = (ii >= 0) & (ii < half_c) & (jj >= 0) & (jj < 2)
+    idx = np.where(valid, ii * 2 + jj, 0).astype(np.int32)
+    return idx, valid.astype(np.float32)
+
+
+def corr_lookup(f1: jnp.ndarray, f2: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Bug-compatible correlation feature: (B, H, W, C) x2 -> (B, H, W, (2r+1)^2)."""
+    b, h, w, c = f1.shape
+    prod = f1 * f2 * (1.0 / np.sqrt(float(c)))
+    # Reproduce the torch memory reinterpretation: contiguous NCHW buffer
+    # viewed as (B, H, W, C//2, 2), flattened here to channel index i*2+j.
+    flat = jnp.transpose(prod, (0, 3, 1, 2)).reshape(b, h, w, c)
+    idx, valid = _lookup_tables(h, w, c // 2, radius)
+    idx_b = jnp.broadcast_to(jnp.asarray(idx), (b, h, w, idx.shape[-1]))
+    out = jnp.take_along_axis(flat, idx_b, axis=-1)
+    return out * jnp.asarray(valid, dtype=out.dtype)

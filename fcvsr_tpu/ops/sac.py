@@ -1,0 +1,92 @@
+"""Separable / iterative adaptive convolution (SAC / IAC).
+
+Reference semantics: CVSR_freq.py:1230-1276 (/root/reference/CVSR_train/arch).
+SAC applies a per-pixel, per-channel k-tap filter vertically then horizontally.
+The reference builds it with ``unfold`` (materialising a (N,H,W,C,k) tensor);
+here each pass is a shifted multiply-add over a replicate-padded tensor —
+three VPU fmas per pass, no gather, fully fusible by XLA.
+
+Bug compatibility: the reference applies ``kernel1`` in *both* passes
+(CVSR_freq.py:1272-1273 — acknowledged in-code; shipped checkpoints were
+trained this way).  ``kernel1_both`` preserves that; set it False for the
+corrected operator.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .warp import flow_warp
+
+__all__ = ["sac", "iac"]
+
+
+def _directional_pass(x: jnp.ndarray, k: jnp.ndarray, ksize: int, axis: int) -> jnp.ndarray:
+    """One adaptive-filter pass along H (axis=1) or W (axis=2).
+
+    x: (B, H, W, C);  k: (B, H, W, C*ksize) with channel layout c*ksize + tap
+    (matching the torch ``view(N, H, W, C, ksize)`` of a channels-first conv
+    output).  Replicate padding at the borders.
+    """
+    b, h, w, c = x.shape
+    pad = (ksize - 1) // 2
+    pad_cfg = [(0, 0)] * 4
+    pad_cfg[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_cfg, mode="edge")
+    kt = k.reshape(b, h, w, c, ksize)
+    out = jnp.zeros_like(x)
+    size = h if axis == 1 else w
+    for tap in range(ksize):
+        sl = [slice(None)] * 4
+        sl[axis] = slice(tap, tap + size)
+        out = out + xp[tuple(sl)] * kt[..., tap]
+    return out
+
+
+def sac(
+    x: jnp.ndarray,
+    kernel1: jnp.ndarray,
+    kernel2: jnp.ndarray,
+    ksize: int = 3,
+    kernel1_both: bool = True,
+) -> jnp.ndarray:
+    """Separable adaptive convolution: vertical pass then horizontal pass.
+
+    x: (B, H, W, C); kernel1/kernel2: (B, H, W, C*ksize).
+    """
+    out = _directional_pass(x, kernel1, ksize, axis=1)
+    k_h = kernel1 if kernel1_both else kernel2
+    return _directional_pass(out, k_h, ksize, axis=2)
+
+
+def iac(
+    feat_in: jnp.ndarray,
+    pred_k: jnp.ndarray,
+    offsets: jnp.ndarray,
+    ac_num: int,
+    channels: int,
+    ksize: int,
+    act_last: bool = True,
+    kernel1_both: bool = True,
+) -> jnp.ndarray:
+    """Iterative adaptive convolution (CVSR_freq.py:1230-1250).
+
+    feat_in: (B, H, W, C); pred_k: (B, H, W, ac_num*C*ksize*2);
+    offsets: (AC, B, H, W, 2) flow fields (dx, dy per pixel).
+
+    Each round: warp current features by offsets[i], filter with the i-th
+    predicted separable kernel, add the *original* input as residual, then
+    leaky-relu(0.1).
+    """
+    chunk = channels * ksize * 2
+    feat = feat_in
+    for i in range(ac_num):
+        ks = pred_k[..., i * chunk : (i + 1) * chunk]
+        k1 = ks[..., : channels * ksize]
+        k2 = ks[..., channels * ksize :]
+        warped = flow_warp(feat, offsets[i])
+        feat = sac(warped, k1, k2, ksize, kernel1_both=kernel1_both) + feat_in
+        if i < ac_num - 1 or act_last:
+            feat = jax.nn.leaky_relu(feat, 0.1)
+    return feat

@@ -1,0 +1,77 @@
+"""Flow warping via gather-based bilinear sampling.
+
+TPU-native replacement for ``F.grid_sample(align_corners=True,
+padding_mode='zeros')`` as used by the reference ``flow_warp``
+(/root/reference/CVSR_train/arch/CVSR_freq.py:1188-1227): the normalisation
+round-trip there means sampling happens at absolute pixel coordinate
+``(x + flow_x, y + flow_y)``, bilinear, with out-of-range corner taps
+contributing zero.
+
+We lower this to four masked gathers over a flattened spatial axis (one XLA
+gather per corner), which vectorises over batch and channels and keeps the
+compute on-chip.  All arrays are channels-last (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["flow_warp", "grid_sample_bilinear"]
+
+
+def _gather_hw(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Gather x[b, iy[b,p], ix[b,p], :] -> (B, P, C).
+
+    ``iy``/``ix`` must already be clipped to valid range.
+    """
+    b, h, w, c = x.shape
+    flat = x.reshape(b, h * w, c)
+    idx = iy * w + ix  # (B, P)
+    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+
+def grid_sample_bilinear(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``x`` (B, H, W, C) at absolute pixel coords ``px``/``py`` (B, P).
+
+    Bilinear, zero padding outside the image, matching torch
+    ``grid_sample(mode='bilinear', padding_mode='zeros', align_corners=True)``
+    after its pixel-coordinate de-normalisation.  Returns (B, P, C).
+    """
+    b, h, w, _ = x.shape
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    def corner(yi, xi, wgt):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        v = _gather_hw(x, yc, xc)
+        return v * (wgt * valid.astype(x.dtype))[..., None]
+
+    out = corner(y0i, x0i, (1 - fy) * (1 - fx))
+    out += corner(y0i, x1i, (1 - fy) * fx)
+    out += corner(y1i, x0i, fy * (1 - fx))
+    out += corner(y1i, x1i, fy * fx)
+    return out
+
+
+def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp ``x`` (B, H, W, C) by ``flow`` (B, H, W, 2), flow[..., 0]=dx, [..., 1]=dy.
+
+    Equivalent to the reference ``flow_warp`` (bilinear, zeros padding,
+    align_corners=True): output(y, x) = x_sampled(y + dy, x + dx).
+    """
+    b, h, w, c = x.shape
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=x.dtype), jnp.arange(w, dtype=x.dtype), indexing="ij"
+    )
+    px = (gx[None] + flow[..., 0]).reshape(b, h * w)
+    py = (gy[None] + flow[..., 1]).reshape(b, h * w)
+    out = grid_sample_bilinear(x, px, py)
+    return out.reshape(b, h, w, c)

@@ -1,0 +1,88 @@
+"""FCVSRNet model-level tests: shapes, jit, gradients, ETC mode, weight sharing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fcvsr_tpu.models import FCVSRNet, fcvsr_etc_forward
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = FCVSRNet.small(in_channels=1)
+    x = jnp.zeros((1, 7, 1, 16, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def test_forward_shape_y(small_model):
+    model, params = small_model
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 1, 16, 16))
+    y = model.apply(params, x)
+    assert y.shape == (2, 1, 64, 64)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_forward_shape_rgb():
+    model = FCVSRNet.small(in_channels=3)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 3, 16, 16))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 3, 64, 64)
+
+
+def test_jit_and_grad(small_model):
+    model, params = small_model
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 1, 16, 16))
+    gt = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 64, 64))
+
+    @jax.jit
+    def loss_fn(p):
+        sr = model.apply(p, x)
+        return jnp.sum(jnp.sqrt((sr - gt) ** 2 + 1e-4))
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every live parameter receives gradient signal somewhere
+    nonzero = sum(bool(np.abs(np.asarray(l)).sum() > 0) for l in leaves)
+    assert nonzero / len(leaves) > 0.9
+
+
+def test_bicubic_base_dominates_at_init(small_model):
+    """At torch-default init the network output stays near the bilinear base
+    (residual learning) — catches gross wiring errors."""
+    model, params = small_model
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(5), (1, 7, 1, 16, 16)), 0, 1)
+    y = np.asarray(model.apply(params, x))
+    assert np.abs(y).max() < 50.0
+
+
+def test_etc_mode(small_model):
+    model, params = small_model
+    clip = jax.random.normal(jax.random.PRNGKey(6), (1, 13, 1, 16, 16))
+    out, base = fcvsr_etc_forward(model, params, clip)
+    assert out.shape == (1, 7, 1, 64, 64)
+    assert base.shape == (1, 7, 1, 64, 64)
+    # window 3's output == single forward over frames 3..9
+    single = model.apply(params, clip[:, 3:10])
+    np.testing.assert_allclose(np.asarray(out[:, 3]), np.asarray(single),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_mgaa_weight_sharing(small_model):
+    """The three MGAA invocations share one parameter set (reference uses a
+    single module instance, CVSR_freq.py:2665)."""
+    _, params = small_model
+    top = params["params"]
+    assert "MGAA" in top
+    mgaa_keys = [k for k in top if k.startswith("MGAA")]
+    assert mgaa_keys == ["MGAA"]
+
+
+def test_full_vs_small_hyperparams():
+    full = FCVSRNet(in_channels=1)
+    assert (full.ac_num, full.freq_inv, full.sc_groups) == (6, 8, 10)
+    small = FCVSRNet.small()
+    assert (small.ac_num, small.freq_inv, small.sc_groups) == (3, 4, 4)

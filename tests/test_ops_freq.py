@@ -1,0 +1,65 @@
+"""Golden tests: FFT packing + frequency band split vs torch.fft."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.fft as tfft
+
+from fcvsr_tpu.ops import (
+    gaussian_band_masks,
+    irfft_features,
+    rfft_features,
+    split_freq,
+)
+
+
+def test_rfft_features_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 12, 14, 6), dtype=np.float32)
+    got = np.asarray(rfft_features(jnp.asarray(x)))
+    f = tfft.rfft2(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), norm="backward")
+    ref = torch.cat([f.imag, f.real], dim=1).numpy()
+    np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 3, 1)), atol=1e-4, rtol=1e-4)
+
+
+def test_irfft_features_matches_torch_asymmetric_unpack():
+    """Packing is [imag, real] but unpacking treats the first half as real
+    (the reference asymmetry, CVSR_freq.py:1497-1499)."""
+    rng = np.random.default_rng(1)
+    h, w = 10, 12
+    xf = rng.standard_normal((1, h, w // 2 + 1, 8), dtype=np.float32)
+    got = np.asarray(irfft_features(jnp.asarray(xf), h, w))
+    t = torch.from_numpy(np.transpose(xf, (0, 3, 1, 2)))
+    y_real, y_imag = torch.chunk(t, 2, dim=1)
+    ref = tfft.irfft2(torch.complex(y_real, y_imag), s=(h, w), norm="backward").numpy()
+    np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 3, 1)), atol=1e-4, rtol=1e-4)
+
+
+def test_split_freq_matches_torch_loop():
+    """Vectorised band split == per-channel fftshift/mask/ifftshift loop."""
+    rng = np.random.default_rng(2)
+    b, h, w, c = 1, 24, 20, 3
+    k = 4
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    got = np.asarray(split_freq(jnp.asarray(x), k))  # (K, B, H, W, C)
+
+    _, centered = gaussian_band_masks(k, h, w)
+    mask = torch.from_numpy(np.asarray(centered))  # (K, H, W)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    refs = []
+    for ch in range(c):
+        f = tfft.fftn(xt[:, ch : ch + 1], dim=(2, 3))
+        f = tfft.fftshift(f, dim=(2, 3))
+        f_split = f * mask  # broadcast -> (B, K, H, W)
+        f_split = tfft.ifftshift(f_split, dim=(2, 3))
+        refs.append(tfft.ifftn(f_split, dim=(2, 3)).real)
+    ref = torch.stack(refs, dim=-1)  # (B, K, H, W, C)
+    ref = ref.permute(1, 0, 2, 3, 4).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_band_masks_partition_of_unity_center():
+    """Band masks sum to the largest gaussian low-pass by construction."""
+    shifted, centered = gaussian_band_masks(8, 64, 64)
+    total = np.asarray(centered).sum(0)
+    assert total[32, 32] > 0.99  # DC bin fully covered
