@@ -62,37 +62,31 @@ class MGAA(nn.Module):
         x2_f = rfft_features(x2)
         x3_f = rfft_features(x3)
 
-        convfuse = nn.Sequential(
-            [
-                Conv2d(2 * d, 1, use_bias=False),
-                nn.relu,
-                Conv2d(2 * d, 1, use_bias=False),
-                nn.relu,
-                Conv2d(2 * d, 1, use_bias=False),
-            ]
-        )
+        fuse0 = Conv2d(2 * d, 1, use_bias=False, name="convfuse0")
+        fuse1 = Conv2d(2 * d, 1, use_bias=False, name="convfuse1")
+        fuse2 = Conv2d(2 * d, 1, use_bias=False, name="convfuse2")
+
+        def convfuse(y):
+            return fuse2(nn.relu(fuse1(nn.relu(fuse0(y)))))
+
         off_f = (x1_f - x2_f) + convfuse(jnp.concatenate([x1_f, x2_f], -1))
         off_b = (x3_f - x2_f) + convfuse(jnp.concatenate([x3_f, x2_f], -1))
 
-        x2_f_sim = nn.Sequential(
-            [Conv2d(d, 1, use_bias=False), nn.relu, Conv2d(4, 1, use_bias=False)],
-            name="convcrt",
-        )(x2_f)
+        crt0 = Conv2d(d, 1, use_bias=False, name="convcrt0")
+        crt1 = Conv2d(4, 1, use_bias=False, name="convcrt1")
+        x2_f_sim = crt1(nn.relu(crt0(x2_f)))
 
         # Correlation conditioning: forward corr is used for BOTH directions
         # (reference bug); identity flow features are exactly zero.
         corrf = corr_lookup(x1_f, x2_f, self.corr_radius)
         zero_flow = jnp.zeros(off_f.shape[:3] + (2,), off_f.dtype)
-        convcorr = nn.Sequential(
-            [
-                Conv2d(d, 1, use_bias=False),
-                nn.relu,
-                Conv2d(d, 1, use_bias=False),
-                nn.relu,
-                Conv2d(4, 1, use_bias=False),
-            ],
-            name="convcorr",
-        )
+        corr0 = Conv2d(d, 1, use_bias=False, name="convcorr0")
+        corr1 = Conv2d(d, 1, use_bias=False, name="convcorr1")
+        corr2 = Conv2d(4, 1, use_bias=False, name="convcorr2")
+
+        def convcorr(y):
+            return corr2(nn.relu(corr1(nn.relu(corr0(y)))))
+
         off_f = convcorr(jnp.concatenate([off_f, corrf, zero_flow], -1))
         off_b = convcorr(jnp.concatenate([off_b, corrf, zero_flow], -1))
 

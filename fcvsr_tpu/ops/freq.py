@@ -85,7 +85,8 @@ def _band_masks_1024(num_bands: int, mode: str = "gaussian") -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def gaussian_band_masks(num_bands: int, h: int, w: int, mode: str = "gaussian"):
-    """Masks resized to (h, w) with torch-bicubic, returned twice:
+    """Masks resized to (h, w) with torch-bicubic, returned twice (as numpy —
+    safe to cache across jax traces):
 
     (shifted)   (K, h, w) pre-ifftshifted for direct multiplication with fft2
                 output — real(ifft2(fft2(x) * m)) == the reference's
@@ -98,7 +99,7 @@ def gaussian_band_masks(num_bands: int, h: int, w: int, mode: str = "gaussian"):
     centered = np.einsum("oh,khw->kow", ah, masks)
     centered = np.einsum("pw,kow->kop", aw, centered)
     shifted = np.fft.ifftshift(centered, axes=(1, 2))
-    return jnp.asarray(shifted), jnp.asarray(centered.astype(np.float32))
+    return shifted.astype(np.float32), centered.astype(np.float32)
 
 
 def split_freq(x: jnp.ndarray, num_bands: int, mode: str = "gaussian") -> jnp.ndarray:
@@ -108,7 +109,8 @@ def split_freq(x: jnp.ndarray, num_bands: int, mode: str = "gaussian") -> jnp.nd
     (CVSR_freq.py:2075-2101) but as one batched complex FFT round-trip.
     """
     b, h, w, c = x.shape
-    shifted, _ = gaussian_band_masks(num_bands, h, w, mode)
+    shifted_np, _ = gaussian_band_masks(num_bands, h, w, mode)
+    shifted = jnp.asarray(shifted_np)
     xf = jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2))
     # (K, B, H, W, C) = ifft2(xf * mask_k)
     prod = xf[None, ...] * shifted[:, None, :, :, None].astype(jnp.complex64)
