@@ -1,0 +1,216 @@
+"""Clip datasets: folder-PNG sequences, annotation-file driven eval sets,
+RAM-cached CVCP-style training clips.
+
+Rebuilds the reference data layer (SURVEY.md §2.5) host-side:
+
+* ``ClipFolderDataset``   — generic {seq_dir}/{frame}.png LR/GT pairs, the
+  shape behind mmedit ``SRREDSMultipleGTDataset`` / ``SRTestMultipleGTDataset``
+  / ``SRFolderDataset``.
+* ``AnnotationDataset``   — mmedit ``SRVid4Dataset`` (ann file lines
+  "calendar 41 (720,576,3)"), per-clip metric averaging is done by the eval
+  driver.
+* ``CVCPClipCache``       — CVSR_train ``CDVL_Dataset`` (data_LD_LR.py:10):
+  whole-dataset uint8 RAM cache, random 7-frame training windows with
+  centre-frame GT.
+* ``Vimeo90KDataset``     — septuplet lists (meta_info_Vimeo90K_*.txt).
+
+All outputs are numpy; ``as_model_input`` converts a (T, H, W, C) uint8 stack
+to the model's (1, T, C, H, W) float layout.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .pipelines import (
+    padded_window_indices,
+    paired_flip_rotate,
+    paired_random_crop,
+    segment_indices,
+    to_float,
+)
+
+__all__ = [
+    "load_image",
+    "as_model_input",
+    "ClipFolderDataset",
+    "AnnotationDataset",
+    "CVCPClipCache",
+    "Vimeo90KDataset",
+]
+
+
+def load_image(path: str, grayscale: bool = False) -> np.ndarray:
+    """PNG/JPG -> uint8 (H, W, C) array (C=1 for grayscale)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if grayscale:
+        img = img.convert("L")
+        arr = np.asarray(img, np.uint8)[..., None]
+    else:
+        img = img.convert("RGB")
+        arr = np.asarray(img, np.uint8)
+    return arr
+
+
+def as_model_input(frames_u8: np.ndarray) -> np.ndarray:
+    """(T, H, W, C) uint8 -> (1, T, C, H, W) float32 in [0,1]."""
+    x = to_float(frames_u8)
+    return np.transpose(x, (0, 3, 1, 2))[None]
+
+
+def _list_frames(seq_dir: str) -> List[str]:
+    exts = (".png", ".jpg", ".jpeg", ".bmp")
+    names = sorted(n for n in os.listdir(seq_dir) if n.lower().endswith(exts))
+    return [os.path.join(seq_dir, n) for n in names]
+
+
+@dataclass
+class ClipFolderDataset:
+    """Paired LR/GT folder dataset: lr_root/{seq}/{frame}.png and same in
+    gt_root.  Iterate test windows or sample training windows."""
+
+    lr_root: str
+    gt_root: Optional[str] = None
+    window: int = 7
+    scale: int = 4
+    grayscale: bool = False
+    padding: str = "replicate"
+    sequences: Optional[Sequence[str]] = None
+
+    def __post_init__(self):
+        if self.sequences is None:
+            self.sequences = sorted(
+                d for d in os.listdir(self.lr_root)
+                if os.path.isdir(os.path.join(self.lr_root, d))
+            )
+
+    def seq_frames(self, seq: str) -> Tuple[List[str], Optional[List[str]]]:
+        lr = _list_frames(os.path.join(self.lr_root, seq))
+        gt = (_list_frames(os.path.join(self.gt_root, seq))
+              if self.gt_root else None)
+        return lr, gt
+
+    def iter_test_windows(self, seq: str) -> Iterator[tuple]:
+        """Yield (center_idx, lr_window_u8 (T,H,W,C), gt_u8 or None)."""
+        lr_paths, gt_paths = self.seq_frames(seq)
+        frames = [load_image(p, self.grayscale) for p in lr_paths]
+        for i in range(len(frames)):
+            idx = padded_window_indices(i, len(frames), self.window, self.padding)
+            window = np.stack([frames[j] for j in idx])
+            gt = load_image(gt_paths[i], self.grayscale) if gt_paths else None
+            yield i, window, gt
+
+    def sample_train_window(self, rng: np.random.Generator, lr_patch: int = 64):
+        """Random sequence + window + aligned crop + aug.
+
+        Returns (lr (T,p,p,C) f32, gt_center (P,P,C) f32)."""
+        seq = self.sequences[int(rng.integers(len(self.sequences)))]
+        lr_paths, gt_paths = self.seq_frames(seq)
+        assert gt_paths, "training needs gt_root"
+        n = len(lr_paths)
+        idx = segment_indices(rng, n, self.window)
+        lr = np.stack([load_image(lr_paths[j], self.grayscale) for j in idx])
+        center = idx[self.window // 2]
+        gt = load_image(gt_paths[center], self.grayscale)[None]
+        lr, gt = paired_random_crop(rng, lr, gt, lr_patch, self.scale)
+        lr, gt = paired_flip_rotate(rng, lr, gt)
+        return to_float(lr), to_float(gt[0])
+
+
+_ANN_RE = re.compile(r"^(\S+)\s+(\d+)\s+\((\d+),(\d+),(\d+)\)")
+
+
+@dataclass
+class AnnotationDataset:
+    """Ann-file dataset (Vid4/REDS4 style: 'name frames (h,w,c)')."""
+
+    lr_root: str
+    gt_root: str
+    ann_file: str
+    window: int = 7
+    scale: int = 4
+    padding: str = "replicate"
+
+    def clips(self) -> List[Tuple[str, int, Tuple[int, int, int]]]:
+        out = []
+        with open(self.ann_file) as f:
+            for line in f:
+                m = _ANN_RE.match(line.strip())
+                if m:
+                    name, n, h, w, c = m.group(1), *map(int, m.group(2, 3, 4, 5))
+                    out.append((name, n, (h, w, c)))
+        return out
+
+    def as_folder(self) -> ClipFolderDataset:
+        return ClipFolderDataset(
+            lr_root=self.lr_root, gt_root=self.gt_root, window=self.window,
+            scale=self.scale, padding=self.padding,
+            sequences=[c[0] for c in self.clips()],
+        )
+
+
+class CVCPClipCache:
+    """CVSR_train CDVL-style RAM cache: preload all LR (and HR) frames as
+    uint8 once, then sample random 7-frame windows with centre-frame GT
+    (data_LD_LR.py:43-75, 129-246)."""
+
+    def __init__(self, lr_root: str, hr_root: str, sequences: Sequence[str],
+                 window: int = 7, grayscale: bool = True):
+        self.window = window
+        self.lr_clips = []
+        self.hr_clips = []
+        for seq in sequences:
+            lr = np.stack([load_image(p, grayscale)
+                           for p in _list_frames(os.path.join(lr_root, seq))])
+            hr = np.stack([load_image(p, grayscale)
+                           for p in _list_frames(os.path.join(hr_root, seq))])
+            self.lr_clips.append(lr)
+            self.hr_clips.append(hr)
+
+    def sample(self, rng: np.random.Generator, lr_patch: int = 128,
+               scale: int = 4):
+        ci = int(rng.integers(len(self.lr_clips)))
+        lr_clip, hr_clip = self.lr_clips[ci], self.hr_clips[ci]
+        idx = segment_indices(rng, len(lr_clip), self.window)
+        lr = lr_clip[idx]
+        gt = hr_clip[idx[self.window // 2]][None]
+        lr, gt = paired_random_crop(rng, lr, gt, lr_patch, scale)
+        lr, gt = paired_flip_rotate(rng, lr, gt)
+        return to_float(lr), to_float(gt[0])
+
+
+@dataclass
+class Vimeo90KDataset:
+    """Vimeo-90K septuplets via meta-info list ('00001/0001' per line)."""
+
+    lr_root: str
+    gt_root: str
+    meta_file: str
+    scale: int = 4
+
+    def __post_init__(self):
+        with open(self.meta_file) as f:
+            self.keys = [ln.split()[0] for ln in f if ln.strip()]
+
+    def load(self, key: str):
+        lr_dir = os.path.join(self.lr_root, key)
+        gt_dir = os.path.join(self.gt_root, key)
+        lr = np.stack([load_image(p) for p in _list_frames(lr_dir)])
+        gt = np.stack([load_image(p) for p in _list_frames(gt_dir)])
+        return lr, gt
+
+    def sample_train(self, rng: np.random.Generator, lr_patch: int = 64):
+        key = self.keys[int(rng.integers(len(self.keys)))]
+        lr, gt = self.load(key)
+        center = lr.shape[0] // 2
+        gtc = gt[center][None]
+        lr, gtc = paired_random_crop(rng, lr, gtc, lr_patch, self.scale)
+        lr, gtc = paired_flip_rotate(rng, lr, gtc)
+        return to_float(lr), to_float(gtc[0])

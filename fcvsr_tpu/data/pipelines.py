@@ -1,0 +1,117 @@
+"""Frame-index generation and paired augmentations.
+
+Rebuilds the reference data pipeline semantics (SURVEY.md §2.5):
+
+* ``padded_window_indices``  — mmedit ``GenerateFrameIndiceswithPadding``
+  (datasets/pipelines/augmentation.py:808): per-centre-frame sliding windows
+  with 'replicate' / 'reflection' / 'reflection_circle' / 'circle' padding at
+  clip edges; also the CVSR_train ``generate_input_index``
+  (test_LD_freqCVSR.py:14) which is the replicate mode.
+* ``segment_indices``        — ``GenerateSegmentIndices`` (augmentation.py:1012):
+  random-start fixed-length training segments.
+* ``paired_random_crop``     — ``PairedRandomCrop`` (crop.py:334): LR patch +
+  aligned x4 GT patch.
+* ``paired_flip_rotate``     — hflip/vflip/transpose aug applied consistently
+  to LR and GT (CVSR_train ``Augment`` data_LD_LR.py:306-344, mmedit Flip /
+  RandomTransposeHW).
+
+All functions are numpy/host-side (the input pipeline runs on CPU; device
+work starts at the uint8->f32 transfer).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "padded_window_indices",
+    "segment_indices",
+    "paired_random_crop",
+    "paired_flip_rotate",
+    "to_float",
+]
+
+
+def padded_window_indices(center: int, num_frames: int, window: int,
+                          padding: str = "replicate") -> list[int]:
+    """Window of ``window`` frame indices centred at ``center`` within a clip
+    of ``num_frames``, edge-padded per mmedit semantics."""
+    n = num_frames - 1
+    half = window // 2
+    out = []
+    for i in range(center - half, center + half + 1):
+        if i < 0:
+            if padding == "replicate":
+                j = 0
+            elif padding == "reflection":
+                j = -i
+            elif padding == "reflection_circle":
+                j = center + half - i
+            elif padding == "circle":
+                j = window + i
+            else:
+                raise ValueError(f"unknown padding {padding}")
+        elif i > n:
+            if padding == "replicate":
+                j = n
+            elif padding == "reflection":
+                j = n * 2 - i
+            elif padding == "reflection_circle":
+                j = (center - half) - (i - n)
+            elif padding == "circle":
+                j = i - window
+            else:
+                raise ValueError(f"unknown padding {padding}")
+        else:
+            j = i
+        out.append(j)
+    return out
+
+
+def segment_indices(rng: np.random.Generator, num_frames: int,
+                    seq_len: int, interval: int = 1) -> list[int]:
+    """Random fixed-length contiguous (strided) segment of a clip."""
+    max_start = num_frames - seq_len * interval
+    if max_start < 0:
+        raise ValueError("clip too short for requested segment")
+    start = int(rng.integers(0, max_start + 1))
+    return list(range(start, start + seq_len * interval, interval))
+
+
+def paired_random_crop(rng: np.random.Generator, lr_frames: np.ndarray,
+                       gt_frames: np.ndarray, lr_patch: int,
+                       scale: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    """Crop aligned patches: LR (T, H, W, C) -> (T, p, p, C);
+    GT -> (T, p*scale, p*scale, C)."""
+    h, w = lr_frames.shape[1:3]
+    top = int(rng.integers(0, h - lr_patch + 1))
+    left = int(rng.integers(0, w - lr_patch + 1))
+    lr = lr_frames[:, top : top + lr_patch, left : left + lr_patch]
+    gt = gt_frames[
+        :,
+        top * scale : (top + lr_patch) * scale,
+        left * scale : (left + lr_patch) * scale,
+    ]
+    return lr, gt
+
+
+def paired_flip_rotate(rng: np.random.Generator, lr: np.ndarray,
+                       gt: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Random hflip/vflip/transpose applied to both (T, H, W, C) stacks."""
+    if rng.random() < 0.5:
+        lr = lr[:, :, ::-1]
+        gt = gt[:, :, ::-1]
+    if rng.random() < 0.5:
+        lr = lr[:, ::-1]
+        gt = gt[:, ::-1]
+    if rng.random() < 0.5:
+        lr = lr.transpose(0, 2, 1, 3)
+        gt = gt.transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(lr), np.ascontiguousarray(gt)
+
+
+def to_float(frames_u8: np.ndarray) -> np.ndarray:
+    """uint8 -> float32 in [0, 1]."""
+    return frames_u8.astype(np.float32) / 255.0
