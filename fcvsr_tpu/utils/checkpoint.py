@@ -1,0 +1,103 @@
+"""Orbax checkpointing: save/restore TrainState with step-based retention.
+
+TPU-native replacement for the reference's checkpoint paths (SURVEY.md §5):
+mmcv CheckpointHook every 5000 iters with optimizer state, and CVSR_train's
+periodic ``torch.save(state_dict)``.  Also exports back to a torch-style
+flat-key numpy archive so results can round-trip to the reference tooling.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "export_torch_style"]
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 5):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any,
+                    max_to_keep: int = 5) -> None:
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(ckpt_dir, max_to_keep)
+    payload = {
+        "step": int(step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    if state.ema_params is not None:
+        payload["ema_params"] = jax.device_get(state.ema_params)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    return mgr.latest_step()
+
+
+def restore_checkpoint(ckpt_dir: str, state: Any, step: Optional[int] = None):
+    """Restore into the structure of ``state``; returns (state, step)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return state, 0
+    template = {
+        "step": 0,
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    if state.ema_params is not None:
+        template["ema_params"] = jax.device_get(state.ema_params)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    import jax.numpy as jnp
+
+    new_state = state.replace(
+        step=jnp.asarray(restored["step"], jnp.int32),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        ema_params=restored.get("ema_params", state.ema_params),
+    )
+    return new_state, step
+
+
+def export_torch_style(params, path: str) -> None:
+    """Write flax params as a torch-key .npz (inverse of torch_import)."""
+    import flax
+
+    from .torch_import import flax_to_torch_key
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    out = {}
+    for key_tuple, v in flat.items():
+        base = flax_to_torch_key("/".join(key_tuple[:-1]))
+        leaf = key_tuple[-1]
+        v = np.asarray(jax.device_get(v))
+        if leaf == "kernel":
+            out[f"{base}.weight"] = np.transpose(v, (3, 2, 0, 1))
+        elif leaf == "bias":
+            out[f"{base}.bias"] = v
+        elif leaf == "alpha":
+            out[f"{base}.weight"] = v
+        elif leaf in ("a", "b"):
+            out[f"{base}.{leaf}"] = v.reshape(-1, 1, 1)
+    np.savez(path, **out)

@@ -1,0 +1,129 @@
+"""Config system: one dataclass covering both reference config axes.
+
+Replaces the reference's two config mechanisms (SURVEY.md §5 — argparse
+scripts in CVSR_train, 22 mmcv python config files in mmedit_train) with a
+single dataclass enumerating the same axes: {model} x {dataset} x {QP}.
+Named presets reproduce every shipped FCVSR config
+(configs/restorers/fcvsr/fcvsr[_s]_{cvcp,reds,vimeo}LD_QP{22,27,32,37}.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+__all__ = ["ExperimentConfig", "preset", "PRESET_NAMES"]
+
+
+@dataclass
+class ModelConfig:
+    name: str = "fcvsr"          # fcvsr | fcvsr_s
+    n_feats: int = 64
+    in_channels: int = 3          # 1 = Y (CVCP), 3 = RGB (REDS/Vimeo)
+    num_frames: int = 7
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "reds"         # cvcp | reds | vimeo | vid4 | folder
+    qp: int = 37
+    lr_root: str = ""
+    gt_root: str = ""
+    ann_file: str = ""
+    meta_file: str = ""
+    lr_patch: int = 128           # LR crop (mmedit: gt_patch 512 -> lq 128)
+    batch_size: int = 2
+    window_padding: str = "replicate"
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.9, 0.99)
+    schedule: str = "cosine_restart"   # cosine_restart | multistep | linear
+    total_iters: int = 600000
+    milestones: Sequence[int] = field(default_factory=lambda: [2000, 6000, 10000, 120000])
+    gamma: float = 0.25
+    min_lr: float = 1e-7
+    loss: str = "charbonnier_mean"     # charbonnier_mean | charbonnier_sum
+    ckpt_interval: int = 5000
+    eval_interval: int = 5000
+    log_interval: int = 100
+    seed: int = 0
+    use_ema: bool = False
+    resume_from: str = ""
+    load_from: str = ""
+
+
+@dataclass
+class EvalConfig:
+    crop_border: int = 0
+    convert_to: Optional[str] = "Y"
+    metrics: Sequence[str] = field(default_factory=lambda: ["PSNR", "SSIM"])
+    save_images: bool = False
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "fcvsr_redsLD_QP37"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    work_dir: str = "./work_dirs"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+        return cls(
+            name=raw.get("name", "custom"),
+            model=ModelConfig(**raw.get("model", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**{k: (tuple(v) if k == "betas" else v)
+                                 for k, v in raw.get("train", {}).items()}),
+            eval=EvalConfig(**raw.get("eval", {})),
+            work_dir=raw.get("work_dir", "./work_dirs"),
+        )
+
+
+_QPS = (22, 27, 32, 37)
+_MODELS = ("fcvsr", "fcvsr_s")
+_DATASETS = ("cvcp", "reds", "vimeo")
+
+
+def preset(name: str) -> ExperimentConfig:
+    """Named presets: fcvsr[_s]_{cvcp,reds,vimeo}LD_QP{22,27,32,37}."""
+    for model in _MODELS:
+        for ds in _DATASETS:
+            for qp in _QPS:
+                if name == f"{model}_{ds}LD_QP{qp}":
+                    cfg = ExperimentConfig(name=name)
+                    cfg.model.name = model
+                    cfg.data.dataset = ds
+                    cfg.data.qp = qp
+                    if ds == "cvcp":
+                        # CVSR_train recipe (train_LD_freqCVSR_22.py:33-45)
+                        cfg.model.in_channels = 1
+                        cfg.train.lr = 0.5e-5 if model == "fcvsr" else 1e-4
+                        cfg.train.schedule = "multistep"
+                        cfg.train.loss = "charbonnier_sum"
+                        cfg.data.batch_size = 6 if model == "fcvsr" else 4
+                        cfg.data.lr_patch = 128
+                    else:
+                        # mmedit recipe (fcvsr_redsLD_QP37.py:92-105)
+                        cfg.model.in_channels = 3
+                        cfg.train.lr = 2e-4
+                        cfg.train.schedule = "cosine_restart"
+                        cfg.train.loss = "charbonnier_mean"
+                        cfg.data.batch_size = 2
+                        cfg.data.lr_patch = 128 if model == "fcvsr" else 64
+                    return cfg
+    raise KeyError(f"unknown preset {name}; options: {PRESET_NAMES[:4]}...")
+
+
+PRESET_NAMES = [f"{m}_{d}LD_QP{q}" for m in _MODELS for d in _DATASETS for q in _QPS]

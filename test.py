@@ -1,0 +1,186 @@
+"""Evaluation / inference entry point.
+
+Covers the reference test harnesses (SURVEY.md §3.2/3.4/3.5) with one CLI:
+
+  sliding-window eval + metrics (test_LD_freqCVSR / tools/test_REDS_FCVSR):
+    python test.py --preset fcvsr_redsLD_QP37 --lr-root ... --gt-root ... \
+        --checkpoint work_dirs/.../ckpt [--save-dir out/]
+  torch-checkpoint ingestion (released reference weights):
+    python test.py ... --torch-checkpoint weights.npz
+  FPS benchmark mode (test_LD_freqCVSR_FPS):
+    python test.py --preset ... --fps
+
+Odd input sizes are padded to the /4 grid on the way in and the SR output is
+cropped back (the reference pads 270->272 rows and crops 1088->1080,
+test_LD_freqCVSR.py:25-27,85-90).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def pad_to_multiple(x: np.ndarray, mult: int = 4):
+    """Pad (T, H, W, C) bottom/right with edge replication to a /mult grid."""
+    h, w = x.shape[1:3]
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    return x, (h, w)
+
+
+def evaluate_sequence(model, params, ds, seq, scale=4, convert_to="Y",
+                      crop_border=0, save_dir=None, channel_order="rgb"):
+    import jax
+    import jax.numpy as jnp
+
+    from fcvsr_tpu.metrics import calculate_psnr, calculate_ssim, calculate_tof
+
+    forward = jax.jit(lambda p, v: model.apply(p, v))
+    psnrs, ssims, tofs = [], [], []
+    prev_sr255, prev_gt255 = None, None
+    for i, window, gt in ds.iter_test_windows(seq):
+        window, (h, w) = pad_to_multiple(window)
+        x = jnp.asarray(
+            np.transpose(window.astype(np.float32) / 255.0, (0, 3, 1, 2))[None]
+        )
+        sr = np.asarray(forward(params, x))[0]          # (C, 4H', 4W')
+        sr = np.transpose(sr, (1, 2, 0))[: h * scale, : w * scale]
+        sr255 = np.clip(sr * 255.0, 0, 255)
+        if save_dir:
+            from PIL import Image
+
+            os.makedirs(os.path.join(save_dir, seq), exist_ok=True)
+            arr = sr255.astype(np.uint8)
+            img = arr[..., 0] if arr.shape[-1] == 1 else arr
+            Image.fromarray(img).save(
+                os.path.join(save_dir, seq, f"{i:08d}.png"))
+        if gt is not None:
+            gt255 = gt.astype(np.float32)
+            conv = convert_to if sr255.shape[-1] == 3 else None
+            psnrs.append(calculate_psnr(sr255, gt255, crop_border, conv,
+                                        channel_order))
+            ssims.append(calculate_ssim(sr255, gt255, crop_border, conv,
+                                        channel_order))
+            if prev_sr255 is not None:
+                tofs.append(calculate_tof(sr255, gt255, prev_sr255, prev_gt255,
+                                          conv, channel_order))
+            prev_sr255, prev_gt255 = sr255, gt255
+    return {
+        "psnr": float(np.mean(psnrs)) if psnrs else None,
+        "ssim": float(np.mean(ssims)) if ssims else None,
+        "tof": float(np.mean(tofs)) if tofs else None,
+        "frames": len(psnrs),
+    }
+
+
+def fps_benchmark(model, params, h=272, w=480, c=1, n_iter=20):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, 7, c, h, w)), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_n(p, v, n):
+        def body(i, acc):
+            return acc + jnp.mean(model.apply(p, v * (1.0 + 1e-6 * i)))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    np.asarray(run_n(params, x, 1))
+    np.asarray(run_n(params, x, n_iter))
+    t_base = min(
+        (lambda: (lambda t0: (np.asarray(run_n(params, x, 1)),
+                              time.perf_counter() - t0)[1])(time.perf_counter()))()
+        for _ in range(2))
+    t_full = min(
+        (lambda: (lambda t0: (np.asarray(run_n(params, x, n_iter)),
+                              time.perf_counter() - t0)[1])(time.perf_counter()))()
+        for _ in range(2))
+    return (n_iter - 1) / (t_full - t_base)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="fcvsr_tpu evaluation")
+    parser.add_argument("--preset", type=str, default="fcvsr_redsLD_QP37")
+    parser.add_argument("--config", type=str, default="")
+    parser.add_argument("--lr-root", type=str, default="")
+    parser.add_argument("--gt-root", type=str, default="")
+    parser.add_argument("--checkpoint", type=str, default="")
+    parser.add_argument("--torch-checkpoint", type=str, default="",
+                        help=".npz with reference torch state_dict keys")
+    parser.add_argument("--save-dir", type=str, default="")
+    parser.add_argument("--fps", action="store_true")
+    parser.add_argument("--seqs", type=str, default="",
+                        help="comma-separated subset of sequences")
+    args = parser.parse_args(argv)
+
+    from fcvsr_tpu.utils.config import ExperimentConfig, preset
+    from train import build_model
+
+    cfg = (ExperimentConfig.from_json(open(args.config).read())
+           if args.config else preset(args.preset))
+    if args.lr_root:
+        cfg.data.lr_root = args.lr_root
+    if args.gt_root:
+        cfg.data.gt_root = args.gt_root
+
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, 7, cfg.model.in_channels, 16, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)
+
+    if args.torch_checkpoint:
+        from fcvsr_tpu.utils.torch_import import convert_torch_state_dict
+
+        state = dict(np.load(args.torch_checkpoint))
+        params = convert_torch_state_dict(state, params)
+    elif args.checkpoint:
+        from fcvsr_tpu.train import create_train_state, cosine_restart
+        from fcvsr_tpu.utils.checkpoint import restore_checkpoint
+
+        st = create_train_state(model, jax.random.PRNGKey(0), x0,
+                                cosine_restart(1e-4, [1], [1.0]))
+        st, _ = restore_checkpoint(args.checkpoint, st)
+        params = st.params
+
+    if args.fps:
+        fps = fps_benchmark(model, params, c=cfg.model.in_channels)
+        print(json.dumps({"fps": round(fps, 2)}))
+        return
+
+    from fcvsr_tpu.data import ClipFolderDataset
+
+    ds = ClipFolderDataset(lr_root=cfg.data.lr_root, gt_root=cfg.data.gt_root,
+                           window=cfg.model.num_frames,
+                           grayscale=cfg.model.in_channels == 1,
+                           padding=cfg.data.window_padding)
+    seqs = args.seqs.split(",") if args.seqs else ds.sequences
+    results = {}
+    for seq in seqs:
+        r = evaluate_sequence(
+            model, params, ds, seq, convert_to=cfg.eval.convert_to,
+            crop_border=cfg.eval.crop_border,
+            save_dir=args.save_dir or None)
+        results[seq] = r
+        print(f"{seq}: PSNR {r['psnr']:.4f}  SSIM {r['ssim']:.4f}"
+              + (f"  tOF {r['tof']:.4f}" if r["tof"] is not None else ""),
+              flush=True)
+    avg = {k: float(np.mean([r[k] for r in results.values() if r[k] is not None]))
+           for k in ("psnr", "ssim", "tof")}
+    print(json.dumps({"average": avg, "per_sequence": results}))
+
+
+if __name__ == "__main__":
+    main()

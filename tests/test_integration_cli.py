@@ -1,0 +1,78 @@
+"""End-to-end integration: train a few iterations on synthetic data across the
+8-device CPU mesh, checkpoint, restore, and evaluate through the test CLI
+machinery (the reference's train->ckpt->test cycle, SURVEY.md §3)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("clips")
+    rng = np.random.default_rng(0)
+    lr_root, gt_root = root / "lr", root / "gt"
+    for seq in ["seq_0", "seq_1"]:
+        (lr_root / seq).mkdir(parents=True)
+        (gt_root / seq).mkdir(parents=True)
+        for i in range(8):
+            lr = rng.integers(0, 255, (16, 20, 3), dtype=np.uint8)
+            gt = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+            Image.fromarray(lr).save(lr_root / seq / f"{i:08d}.png")
+            Image.fromarray(gt).save(gt_root / seq / f"{i:08d}.png")
+    return str(lr_root), str(gt_root)
+
+
+@pytest.mark.slow
+def test_train_then_eval_cycle(synthetic_dataset, tmp_path):
+    lr_root, gt_root = synthetic_dataset
+    work_dir = str(tmp_path / "work")
+
+    import train as train_cli
+
+    train_cli.main([
+        "--preset", "fcvsr_s_redsLD_QP37",
+        "--lr-root", lr_root, "--gt-root", gt_root,
+        "--work-dir", work_dir, "--total-iters", "3", "--batch-size", "8",
+        "--lr-patch", "12",
+    ])
+    ckpt_dir = os.path.join(work_dir, "fcvsr_s_redsLD_QP37", "ckpt")
+    assert os.path.isdir(ckpt_dir)
+
+    import test as test_cli
+
+    save_dir = str(tmp_path / "out")
+    test_cli.main([
+        "--preset", "fcvsr_s_redsLD_QP37",
+        "--lr-root", lr_root, "--gt-root", gt_root,
+        "--checkpoint", ckpt_dir, "--save-dir", save_dir,
+        "--seqs", "seq_0",
+    ])
+    pngs = os.listdir(os.path.join(save_dir, "seq_0"))
+    assert len(pngs) == 8
+
+
+def test_config_presets_roundtrip():
+    from fcvsr_tpu.utils.config import ExperimentConfig, PRESET_NAMES, preset
+
+    assert len(PRESET_NAMES) == 24
+    for name in ["fcvsr_redsLD_QP37", "fcvsr_s_cvcpLD_QP22", "fcvsr_vimeoLD_QP27"]:
+        cfg = preset(name)
+        back = ExperimentConfig.from_json(cfg.to_json())
+        assert back.name == cfg.name
+        assert back.train.lr == cfg.train.lr
+        assert back.data.qp == cfg.data.qp
+    cvcp = preset("fcvsr_cvcpLD_QP22")
+    assert cvcp.model.in_channels == 1
+    assert cvcp.train.loss == "charbonnier_sum"
+    assert cvcp.train.lr == 0.5e-5
+    reds = preset("fcvsr_redsLD_QP37")
+    assert reds.model.in_channels == 3
+    assert reds.train.schedule == "cosine_restart"
