@@ -118,15 +118,36 @@ def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndar
     return y
 
 
-def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Bilinear resize with half-pixel centres (torch align_corners=False).
+@functools.lru_cache(maxsize=None)
+def _linear_weight_matrix_ac(in_size: int, out_size: int) -> np.ndarray:
+    """Bilinear weights with align_corners=True: src = dst*(in-1)/(out-1)."""
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    if in_size == 1 or out_size == 1:
+        w[:, 0] = 1.0
+        return w.astype(np.float32)
+    scale = (in_size - 1) / (out_size - 1)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = src - lo
+    rows = np.arange(out_size)
+    np.add.at(w, (rows, lo), 1.0 - frac)
+    np.add.at(w, (rows, hi), frac)
+    return w.astype(np.float32)
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize; half-pixel centres by default (torch
+    align_corners=False), or endpoint-aligned with ``align_corners=True``.
 
     ``x`` is (..., H, W, C) channels-last (or (H, W)).
     """
     h, w = (x.shape[-3], x.shape[-2]) if x.ndim >= 3 else x.shape
     if (h, w) == (out_h, out_w):
         return x
-    return _apply_separable(x, _linear_weight_matrix(h, out_h), _linear_weight_matrix(w, out_w))
+    mk = _linear_weight_matrix_ac if align_corners else _linear_weight_matrix
+    return _apply_separable(x, mk(h, out_h), mk(w, out_w))
 
 
 def resize_bicubic(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -30,14 +30,19 @@ def _gather_hw(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
-def grid_sample_bilinear(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_bilinear(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                         padding_mode: str = "zeros") -> jnp.ndarray:
     """Sample ``x`` (B, H, W, C) at absolute pixel coords ``px``/``py`` (B, P).
 
-    Bilinear, zero padding outside the image, matching torch
-    ``grid_sample(mode='bilinear', padding_mode='zeros', align_corners=True)``
-    after its pixel-coordinate de-normalisation.  Returns (B, P, C).
+    Bilinear, matching torch ``grid_sample(mode='bilinear', align_corners=True)``
+    after its pixel-coordinate de-normalisation.  ``padding_mode``: 'zeros'
+    (out-of-range corner taps contribute nothing) or 'border' (coordinates
+    clamp to the edge, as SPyNet's warp uses).  Returns (B, P, C).
     """
     b, h, w, _ = x.shape
+    if padding_mode == "border":
+        px = jnp.clip(px, 0.0, w - 1)
+        py = jnp.clip(py, 0.0, h - 1)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     fx = px - x0
@@ -48,11 +53,13 @@ def grid_sample_bilinear(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jn
     y1i = y0i + 1
 
     def corner(yi, xi, wgt):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
         v = _gather_hw(x, yc, xc)
-        return v * (wgt * valid.astype(x.dtype))[..., None]
+        if padding_mode == "zeros":
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            wgt = wgt * valid.astype(x.dtype)
+        return v * wgt[..., None]
 
     out = corner(y0i, x0i, (1 - fy) * (1 - fx))
     out += corner(y0i, x1i, (1 - fy) * fx)
@@ -61,11 +68,12 @@ def grid_sample_bilinear(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jn
     return out
 
 
-def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
+              padding_mode: str = "zeros") -> jnp.ndarray:
     """Warp ``x`` (B, H, W, C) by ``flow`` (B, H, W, 2), flow[..., 0]=dx, [..., 1]=dy.
 
-    Equivalent to the reference ``flow_warp`` (bilinear, zeros padding,
-    align_corners=True): output(y, x) = x_sampled(y + dy, x + dx).
+    Equivalent to the reference ``flow_warp`` (bilinear, align_corners=True):
+    output(y, x) = x_sampled(y + dy, x + dx).
     """
     b, h, w, c = x.shape
     gy, gx = jnp.meshgrid(
@@ -73,5 +81,5 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     )
     px = (gx[None] + flow[..., 0]).reshape(b, h * w)
     py = (gy[None] + flow[..., 1]).reshape(b, h * w)
-    out = grid_sample_bilinear(x, px, py)
+    out = grid_sample_bilinear(x, px, py, padding_mode)
     return out.reshape(b, h, w, c)
