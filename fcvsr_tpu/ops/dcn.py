@@ -1,0 +1,122 @@
+"""Deformable convolution v1/v2 (TPU-native gather + matmul).
+
+Equivalent of the reference CUDA extension (CVSR_train/arch/ops/dcn/src/
+deform_conv_cuda.cpp + deform_conv_cuda_kernel.cu, ~2.6 kLoC) and the mmcv
+``ModulatedDeformConv2d`` consumed by the zoo backbones (EDVR, BasicVSR++,
+IconVSR, TDAN).  Instead of a handwritten kernel pair, the sampling step is
+expressed as K masked bilinear gathers (deformable im2col) and the reduction
+as one ``einsum`` that XLA tiles onto the MXU; the backward pass falls out of
+autodiff through the same graph — no custom VJP needed for correctness, and
+the gather/matmul split is the layout a Pallas kernel would use too.
+
+Semantics (DCNv2): out(p) = sum_k w_k * m_k(p) * x(p0 + k + dp_k(p)), with
+bilinear sampling and zero padding outside the frame; offset channels are
+(deform_group, k, [dy, dx]) ordered, mask channels (deform_group, k).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .warp import grid_sample_bilinear
+
+__all__ = ["deform_conv2d", "modulated_deform_conv2d"]
+
+
+def _deform_im2col(x, offset, kernel_size, stride, padding, dilation,
+                   deform_groups):
+    """Gather deformed samples.
+
+    x: (B, H, W, C); offset: (B, Ho, Wo, dg*K*2) with last-dim layout
+    (dg, k, [dy, dx]).  Returns (B, Ho, Wo, K, C).
+    """
+    b, h, w, c = x.shape
+    kh, kw = kernel_size
+    k = kh * kw
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    dg = deform_groups
+    cg = c // dg
+
+    off = offset.reshape(b, ho, wo, dg, k, 2)
+    base_y = jnp.arange(ho) * stride - padding
+    base_x = jnp.arange(wo) * stride - padding
+    tap_y = jnp.repeat(jnp.arange(kh) * dilation, kw)
+    tap_x = jnp.tile(jnp.arange(kw) * dilation, kh)
+
+    # sample positions: (B, Ho, Wo, dg, K)
+    py = (base_y[None, :, None, None, None]
+          + tap_y[None, None, None, None, :]
+          + off[..., 0])
+    px = (base_x[None, None, :, None, None]
+          + tap_x[None, None, None, None, :]
+          + off[..., 1])
+
+    # per deform-group gather over its channel slice
+    outs = []
+    for g in range(dg):
+        xg = x[..., g * cg : (g + 1) * cg]
+        pyg = py[:, :, :, g, :].reshape(b, ho * wo * k)
+        pxg = px[:, :, :, g, :].reshape(b, ho * wo * k)
+        sg = grid_sample_bilinear(xg, pxg, pyg)  # (B, P, cg)
+        outs.append(sg.reshape(b, ho, wo, k, cg))
+    return jnp.concatenate(outs, -1)  # (B, Ho, Wo, K, C)
+
+
+def modulated_deform_conv2d(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    deform_groups: int = 1,
+) -> jnp.ndarray:
+    """DCNv2 forward.
+
+    x: (B, H, W, Cin); offset: (B, Ho, Wo, dg*K*2); mask: (B, Ho, Wo, dg*K)
+    already sigmoided (or None for DCNv1); weight: (kh, kw, Cin//groups, Cout).
+    Returns (B, Ho, Wo, Cout).
+    """
+    kh, kw, cin_g, cout = weight.shape
+    k = kh * kw
+    cols = _deform_im2col(x, offset, (kh, kw), stride, padding, dilation,
+                          deform_groups)  # (B, Ho, Wo, K, Cin)
+    if mask is not None:
+        b, ho, wo = mask.shape[:3]
+        m = mask.reshape(b, ho, wo, deform_groups, k)
+        m = jnp.repeat(m, x.shape[-1] // deform_groups, axis=3)
+        m = jnp.moveaxis(m, 3, 4).reshape(b, ho, wo, k, x.shape[-1])
+        cols = cols * m
+    wk = weight.reshape(kh * kw, cin_g, cout)
+    if groups == 1:
+        out = jnp.einsum("bhwkc,kco->bhwo", cols, wk,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        cin = x.shape[-1]
+        cpg = cin // groups
+        opg = cout // groups
+        cols_g = cols.reshape(cols.shape[:4] + (groups, cpg))
+        wk_g = wk.reshape(k, cpg, groups, opg) if cin_g == cpg else None
+        # weight (kh,kw,cpg,cout) with cout = groups*opg, group g uses
+        # out channels [g*opg:(g+1)*opg] and in slice g.
+        wk2 = weight.reshape(k, cpg, groups, opg)
+        out = jnp.einsum("bhwkgc,kcgo->bhwgo", cols_g, wk2,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(out.shape[:3] + (cout,)).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def deform_conv2d(x, offset, weight, bias=None, stride=1, padding=1,
+                  dilation=1, groups=1, deform_groups=1):
+    """DCNv1 (no modulation)."""
+    return modulated_deform_conv2d(x, offset, None, weight, bias, stride,
+                                   padding, dilation, groups, deform_groups)
