@@ -68,11 +68,29 @@ def grid_sample_bilinear(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
     return out
 
 
+def grid_sample_nearest(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                        padding_mode: str = "zeros") -> jnp.ndarray:
+    """Nearest-neighbour sampling (torch grid_sample mode='nearest',
+    align_corners=True: round-half-to-even like std::nearbyint)."""
+    b, h, w, _ = x.shape
+    if padding_mode == "border":
+        px = jnp.clip(px, 0.0, w - 1)
+        py = jnp.clip(py, 0.0, h - 1)
+    xi = jnp.round(px).astype(jnp.int32)
+    yi = jnp.round(py).astype(jnp.int32)
+    v = _gather_hw(x, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
+    if padding_mode == "zeros":
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = v * valid[..., None].astype(x.dtype)
+    return v
+
+
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
-              padding_mode: str = "zeros") -> jnp.ndarray:
+              padding_mode: str = "zeros",
+              interpolation: str = "bilinear") -> jnp.ndarray:
     """Warp ``x`` (B, H, W, C) by ``flow`` (B, H, W, 2), flow[..., 0]=dx, [..., 1]=dy.
 
-    Equivalent to the reference ``flow_warp`` (bilinear, align_corners=True):
+    Equivalent to the reference ``flow_warp`` (align_corners=True):
     output(y, x) = x_sampled(y + dy, x + dx).
     """
     b, h, w, c = x.shape
@@ -81,5 +99,8 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
     )
     px = (gx[None] + flow[..., 0]).reshape(b, h * w)
     py = (gy[None] + flow[..., 1]).reshape(b, h * w)
-    out = grid_sample_bilinear(x, px, py, padding_mode)
+    if interpolation == "nearest":
+        out = grid_sample_nearest(x, px, py, padding_mode)
+    else:
+        out = grid_sample_bilinear(x, px, py, padding_mode)
     return out.reshape(b, h, w, c)
