@@ -172,6 +172,7 @@ class FTVSRNet(nn.Module):
     keyframe_stride: int = 3
     d_model: int = 144
     n_heads: int = 8
+    with_ftt: bool = True  # False => TTVSR (trajectory-attention VSR, no FTT)
 
     @nn.compact
     def __call__(self, lrs):
@@ -278,6 +279,9 @@ class FTVSRNet(nn.Module):
         hf = jnp.stack(hf_frames, 1)      # (B, T, 4H, 4W, 3)
         bic = jnp.stack(bic_frames, 1)
 
+        if not self.with_ftt:  # TTVSR head: recurrent trajectory output only
+            return jnp.transpose(hf, (0, 1, 4, 2, 3))
+
         # ---- FTT frequency transformer over DCT coefficients --------------
         bic_p, ph, pw = pad_images_for_dct(bic)
         hf_p, _, _ = pad_images_for_dct(hf)
@@ -345,3 +349,10 @@ class FTVSRNet(nn.Module):
                               : ww - pw if pw else ww])
         out = jnp.stack(finals, 1)
         return jnp.transpose(out, (0, 1, 4, 2, 3))
+
+
+def TTVSRNet(**kwargs) -> FTVSRNet:
+    """TTVSR (mmedit restorers/ttvsr.py): FTVSR's trajectory-attention
+    recurrent core without the FTT frequency transformer."""
+    kwargs.setdefault("num_blocks", 60)
+    return FTVSRNet(with_ftt=False, **kwargs)
