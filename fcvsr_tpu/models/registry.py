@@ -64,12 +64,15 @@ def _register_defaults():
         TDANNet,
     )
     from .ftvsr import FTVSRNet, TTVSRNet
+    from .sisr import EDSR, MSRResNet, RDN, RRDBNet, SRCNN, TOFlow
     from ..train import losses as L
 
     for cls in (BasicVSRNet, BasicVSRPlusPlus, EDVRNet, FCVSRNet, IconVSR,
                 TDANNet, SpyNet, FTVSRNet):
         BACKBONES.register_obj(cls.__name__, cls)
     BACKBONES.register_obj("TTVSRNet", TTVSRNet)
+    for cls in (EDSR, MSRResNet, RDN, RRDBNet, SRCNN, TOFlow):
+        BACKBONES.register_obj(cls.__name__, cls)
     BACKBONES.register_obj("FCVSR_SNet", FCVSRNet.small)
     BACKBONES.register_obj("GShiftNet", lambda **kw: FCVSRNet(in_channels=1, **kw))
     BACKBONES.register_obj(
