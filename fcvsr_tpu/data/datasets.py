@@ -214,3 +214,79 @@ class Vimeo90KDataset:
         lr, gtc = paired_random_crop(rng, lr, gtc, lr_patch, self.scale)
         lr, gtc = paired_flip_rotate(rng, lr, gtc)
         return to_float(lr), to_float(gtc[0])
+
+
+class SideInfoClipCache:
+    """HEVC coding-prior dataset (CVSR_train ``CDVL_sideInfo_Dataset``,
+    opt/data_LD.py:10-246): per-sequence directories holding LR/HR PNGs plus
+    side information — ``MV_l0/NNNNN_mvl0.npy``, ``MV_l1/NNNNN_mvl1.npy``,
+    ``Residue/NNNNN_res.npy``, ``Partition_Map/NNNNN_M_mask.png``,
+    ``pred_unfiltered/NNNNN_unflt.png``, ``Prediction_Signal/NNNNN_pred.png``.
+    All frames are RAM-cached (uint8/int8) once, like the reference.
+
+    ``sample`` returns a dict of model-ready arrays for ``SIDECVSR``:
+    lrs (T,p,p,1), gt (4p,4p,1), mvs (T,p,p,2), residue/partition/unfiltered
+    (T,p,p,1) — floats scaled like the reference ToTensor (/255; MVs raw).
+    """
+
+    def __init__(self, lr_root: str, hr_root: str, side_root: str,
+                 sequences: Sequence[str], window: int = 7,
+                 frames_per_seq: int = 32):
+        import numpy as np
+
+        self.window = window
+        self.clips = []
+        for seq in sequences:
+            lr = np.stack([load_image(p, grayscale=True)
+                           for p in _list_frames(os.path.join(lr_root, seq))])
+            hr = np.stack([load_image(p, grayscale=True)
+                           for p in _list_frames(os.path.join(hr_root, seq))])
+            n = lr.shape[0]
+            side_dir = os.path.join(side_root, seq)
+            mv = np.stack([
+                np.clip(np.load(os.path.join(side_dir, "MV_l0",
+                                             f"{i:05d}_mvl0.npy")),
+                        -128, 127).astype(np.int8)
+                for i in range(n)])
+            res = np.stack([
+                np.clip(np.load(os.path.join(side_dir, "Residue",
+                                             f"{i:05d}_res.npy")),
+                        -128, 127).astype(np.int8)
+                for i in range(n)])
+            pm = np.stack([
+                load_image(os.path.join(side_dir, "Partition_Map",
+                                        f"{i:05d}_M_mask.png"), True)[..., 0]
+                for i in range(n)])
+            uf = np.stack([
+                load_image(os.path.join(side_dir, "pred_unfiltered",
+                                        f"{i:05d}_unflt.png"), True)[..., 0]
+                for i in range(n)])
+            self.clips.append(dict(lr=lr, hr=hr, mv=mv, res=res, pm=pm, uf=uf))
+
+    def sample(self, rng: np.random.Generator, lr_patch: int = 64,
+               scale: int = 4):
+        ci = int(rng.integers(len(self.clips)))
+        clip = self.clips[ci]
+        n = clip["lr"].shape[0]
+        idx = segment_indices(rng, n, self.window)
+        h, w = clip["lr"].shape[1:3]
+        top = int(rng.integers(0, h - lr_patch + 1))
+        left = int(rng.integers(0, w - lr_patch + 1))
+        sl = (idx, slice(top, top + lr_patch), slice(left, left + lr_patch))
+
+        def crop(a):
+            return a[idx][:, top : top + lr_patch, left : left + lr_patch]
+
+        out = {
+            "lrs": to_float(crop(clip["lr"])),
+            "mvs": crop(clip["mv"]).astype(np.float32),
+            "residue": (crop(clip["res"]).astype(np.float32)[..., None] + 128.0) / 255.0,
+            "partition": to_float(crop(clip["pm"])[..., None]),
+            "unfiltered": to_float(crop(clip["uf"])[..., None]),
+        }
+        center = idx[self.window // 2]
+        gt = clip["hr"][center,
+                        top * scale : (top + lr_patch) * scale,
+                        left * scale : (left + lr_patch) * scale]
+        out["gt"] = to_float(gt)
+        return out
