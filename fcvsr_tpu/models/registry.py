@@ -65,13 +65,17 @@ def _register_defaults():
     )
     from .ftvsr import FTVSRNet, TTVSRNet
     from .sisr import EDSR, MSRResNet, RDN, RRDBNet, SRCNN, TOFlow
+    from .fcvsr_tfdc import FCVSRTFDCNet
+    from .raft import RAFT
+    from .sidecvsr import SIDECVSR
     from ..train import losses as L
 
     for cls in (BasicVSRNet, BasicVSRPlusPlus, EDVRNet, FCVSRNet, IconVSR,
                 TDANNet, SpyNet, FTVSRNet):
         BACKBONES.register_obj(cls.__name__, cls)
     BACKBONES.register_obj("TTVSRNet", TTVSRNet)
-    for cls in (EDSR, MSRResNet, RDN, RRDBNet, SRCNN, TOFlow):
+    for cls in (EDSR, MSRResNet, RDN, RRDBNet, SRCNN, TOFlow,
+                FCVSRTFDCNet, RAFT, SIDECVSR):
         BACKBONES.register_obj(cls.__name__, cls)
     BACKBONES.register_obj("FCVSR_SNet", FCVSRNet.small)
     BACKBONES.register_obj("GShiftNet", lambda **kw: FCVSRNet(in_channels=1, **kw))
