@@ -38,20 +38,29 @@ __all__ = [
 
 
 def rfft_features(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) real -> (B, H, Wf, 2C) with channels [imag..., real...]."""
-    f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="backward")
-    return jnp.concatenate([f.imag, f.real], axis=-1).astype(x.dtype)
+    """(B, H, W, C) real -> (B, H, Wf, 2C) with channels [imag..., real...].
+
+    The optimization barriers keep XLA from fusing the FFT with its
+    producers/consumers — the axon TPU runtime has returned UNIMPLEMENTED on
+    some fused fft+slice+conv programs (see CLAUDE.md), and the barrier costs
+    nothing measurable next to the FFT itself.
+    """
+    x = jax.lax.optimization_barrier(x.astype(jnp.float32))
+    f = jnp.fft.rfft2(x, axes=(1, 2), norm="backward")
+    out = jnp.concatenate([f.imag, f.real], axis=-1)
+    return jax.lax.optimization_barrier(out).astype(x.dtype)
 
 
 def irfft_features(xf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """(B, H, Wf, 2C) -> (B, H, W, C): first channel half = real, second = imag
     (the reference's asymmetric unpack), irfft2 with output size (h, w)."""
     c2 = xf.shape[-1]
-    real = xf[..., : c2 // 2].astype(jnp.float32)
-    imag = xf[..., c2 // 2 :].astype(jnp.float32)
+    xf32 = jax.lax.optimization_barrier(xf.astype(jnp.float32))
+    real = xf32[..., : c2 // 2]
+    imag = xf32[..., c2 // 2 :]
     f = jax.lax.complex(real, imag)
     out = jnp.fft.irfft2(f, s=(h, w), axes=(1, 2), norm="backward")
-    return out.astype(xf.dtype)
+    return jax.lax.optimization_barrier(out).astype(xf.dtype)
 
 
 @functools.lru_cache(maxsize=None)
