@@ -735,3 +735,27 @@ class ShallowCell(nn.Module):
     def __call__(self, x):
         y = Conv2d(self.n_feat, 3, use_bias=False, name="conv")(x)
         return CAB(self.n_feat, 3, 4, name="cab")(y)
+
+
+class Encoder2(nn.Module):
+    """Shift-encoder entry (CVSR_freq.py:2458-2491): 3x24ch concat conv ->
+    CAB -> FSAS-flavoured shift encoder -> CAB skip fusion."""
+
+    n_feat: int
+    kernel_size: int = 3
+    reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv2d(self.n_feat, self.kernel_size, use_bias=False, name="concat")(x)
+        shortcut = y
+        enc1 = CAB(self.n_feat, self.kernel_size, self.reduction,
+                   name="encoder_level1")(y)
+        dec1 = EncoderShiftBlock(self.n_feat, self.reduction, use_fsas=True,
+                                 name="decoder_level1")(enc1)
+        skip = CAB(self.n_feat, self.kernel_size, self.reduction,
+                   name="skip_conv")(shortcut)
+        out = Conv2d(self.n_feat, self.kernel_size, name="conv_hr0")(
+            jnp.concatenate([dec1, skip], -1))
+        return CAB(self.n_feat, self.kernel_size, self.reduction,
+                   name="out_conv")(out)

@@ -163,6 +163,7 @@ class FCVSRNet(nn.Module):
     sc_groups: int = 10
     up_ksize: int = 3  # FCVSR-S uses 1x1 convs in the upsampling tail
     num_frames: int = 7
+    use_remat: bool = False  # rematerialize MGAA/SCNet (trade FLOPs for HBM)
 
     @classmethod
     def small(cls, in_channels: int = 1, **kw):
@@ -178,7 +179,8 @@ class FCVSRNet(nn.Module):
         feats = jnp.transpose(x, (0, 3, 4, 1, 2)).reshape(b, h, w, t * c)
 
         lrelu = PReLU(name="lrelu")  # single shared slope, as in reference
-        mgaa = MGAA(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num, name="MGAA")
+        mgaa_cls = nn.remat(MGAA) if self.use_remat else MGAA
+        mgaa = mgaa_cls(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num, name="MGAA")
 
         feat = Conv2d(t * nf, 3, name="feat_extract")(feats)
         f1 = feat[..., : 3 * nf]
@@ -192,7 +194,9 @@ class FCVSRNet(nn.Module):
         dec = MFFR(dim=nf, freq_inv=self.freq_inv, name="MFFRblock")(g2)
         dec1 = Conv2d(nf, 3, stride=2, name="rconcat1")(dec)
         dec2 = Conv2d(nf, 3, stride=2, name="rconcat2")(dec1)
-        l1, l2, l3 = SCNet(nf, self.sc_groups, name="recorb1")([dec, dec1, dec2])
+        scnet_cls = nn.remat(SCNet) if self.use_remat else SCNet
+        l1, l2, l3 = scnet_cls(nf, self.sc_groups, name="recorb1")(
+            [dec, dec1, dec2])
 
         ks = self.up_ksize
         out_l3 = lrelu(Conv2d(nf, ks, name="upconv1_L3")(l3))
