@@ -1,90 +1,104 @@
 """Throughput benchmark: FCVSR 4x SR frames/sec on one chip.
 
 Mirrors the reference FPS harness (CVSR_train/test_LD_freqCVSR_FPS.py:62-77):
-sliding 7-frame windows, one SR frame per forward, steady-state wall clock.
-Shapes follow the reference benchmark sequences (Kimono1 480x272 headline).
-Prints ONE JSON line.
+sliding 7-frame windows, one SR frame per forward, steady-state wall clock at
+the reference benchmark shapes (Kimono1 480x272 headline).  Prints ONE JSON
+line.
 
-Methodology notes for this environment: the TPU is reached through a tunnel
-with high per-dispatch latency and an async queue whose ``block_until_ready``
-is not a reliable sync point, so the N forward passes run *inside one jit*
-via ``lax.fori_loop`` (each iteration data-dependent on the loop index, so
-nothing can be hoisted), and the single result is fetched to host as the sync
-point.  Dispatch overhead is measured with an N=0 run and subtracted.
-
-``vs_baseline``: the reference repo records no FPS number (BASELINE.md), so
-the ratio is reported against the previous round's value when
-``bench_baseline.json`` exists, else 1.0.
+Environment notes (see CLAUDE.md): the axon TPU tunnel is a single-client
+service where a failing program can wedge the backend for a long time, and
+``block_until_ready`` is not a sync point.  So each config runs in its own
+*subprocess* with a hard timeout, safest config first — a hang or failure on
+a bigger config cannot take down the numbers already banked — and timing
+loops on-device (lax.fori_loop) with a host fetch as the sync point.
+``vs_baseline`` compares against bench_baseline.json when present (the
+reference repo publishes no FPS number, BASELINE.md).
 """
 
-import functools
 import json
 import os
-import time
+import subprocess
+import sys
 
+# (metric name, model, h, w) — safest first; the LAST success is reported.
+ATTEMPTS = [
+    ("edvr_fps_320x184", "edvr", 184, 320),
+    ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320),
+    ("fcvsr_full_fps_480x272", "fcvsr", 272, 480),
+]
+
+_WORKER = r"""
+import functools, json, sys, time
 import numpy as np
 
+model_name, h, w = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
-def _measure(model_name, h, w, n_iter=20):
-    import jax
-    import jax.numpy as jnp
+import jax
+import jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from fcvsr_tpu.models import EDVRNet, FCVSRNet
 
-    from fcvsr_tpu.models import FCVSRNet
-
-    model = (FCVSRNet(in_channels=1) if model_name == "fcvsr"
-             else FCVSRNet.small(in_channels=1))
-    rng = np.random.default_rng(0)
+rng = np.random.default_rng(0)
+if model_name == "fcvsr":
+    model = FCVSRNet(in_channels=1)
     x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, h, w)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x)
+elif model_name == "fcvsr_s":
+    model = FCVSRNet.small(in_channels=1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, h, w)), jnp.float32)
+else:
+    model = EDVRNet(in_channels=3, out_channels=3, num_frames=5)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 5, 3, h, w)), jnp.float32)
+params = model.init(jax.random.PRNGKey(0), x)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def run_n(p, v, n):
-        def body(i, acc):
-            out = model.apply(p, v * (1.0 + 1e-6 * i))
-            return acc + jnp.mean(out)
+@functools.partial(jax.jit, static_argnums=(2,))
+def run_n(p, v, n):
+    def body(i, acc):
+        return acc + jnp.mean(model.apply(p, v * (1.0 + 1e-6 * i)))
+    return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+def timed(n):
+    t0 = time.perf_counter()
+    val = np.asarray(run_n(params, x, n))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(val), "non-finite output"
+    return dt
 
-    def timed(n):
-        t0 = time.perf_counter()
-        val = np.asarray(run_n(params, x, n))  # host fetch = sync
-        dt = time.perf_counter() - t0
-        assert np.isfinite(val), "non-finite bench output"
-        return dt
-
-    timed(1)
-    timed(n_iter)
-    base = min(timed(1) for _ in range(2))
-    total = min(timed(n_iter) for _ in range(2))
-    return (n_iter - 1) / (total - base)
+N = 20
+timed(1); timed(N)
+base = min(timed(1) for _ in range(2))
+total = min(timed(N) for _ in range(2))
+print("FPS_RESULT", (N - 1) / (total - base))
+"""
 
 
 def main():
-    # Kimono1 (reference FPS sequence, rows padded 270->272) is the headline;
-    # fall back through smaller configs if the backend rejects the big graph
-    # (the axon tunnel has shown transient UNIMPLEMENTED failures).
-    attempts = [
-        ("fcvsr_full_fps_480x272", "fcvsr", 272, 480),
-        ("fcvsr_full_fps_184x320", "fcvsr", 184, 320),
-        ("fcvsr_s_fps_184x320", "fcvsr_s", 184, 320),
-        ("fcvsr_s_fps_64x64", "fcvsr_s", 64, 64),
-    ]
-    fps, metric, err = 0.0, attempts[0][0], None
-    for name, model_name, h, w in attempts:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    worker = _WORKER.format(repo=repo)
+    fps, metric, err = 0.0, ATTEMPTS[0][0], None
+    for name, model_name, h, w in ATTEMPTS:
         try:
-            fps = _measure(model_name, h, w)
-            metric = name
+            proc = subprocess.run(
+                [sys.executable, "-c", worker, model_name, str(h), str(w)],
+                capture_output=True, text=True, timeout=900, cwd=repo)
+            for line in proc.stdout.splitlines():
+                if line.startswith("FPS_RESULT"):
+                    fps = float(line.split()[1])
+                    metric = name
+                    break
+            else:
+                err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
+                break  # a failure here has likely wedged the tunnel; stop
+        except subprocess.TimeoutExpired:
+            err = f"timeout on {name}"
             break
-        except Exception as e:  # noqa: BLE001 - record and try smaller
-            err = f"{type(e).__name__}: {e}"[:200]
-            continue
 
-    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    baseline_path = os.path.join(repo, "bench_baseline.json")
     vs = 1.0
     if os.path.exists(baseline_path):
         try:
-            prev = json.load(open(baseline_path))["value"]
-            vs = fps / prev if prev else 1.0
+            prev = json.load(open(baseline_path))
+            if prev.get("metric") == metric and prev.get("value"):
+                vs = fps / prev["value"]
         except Exception:
             pass
 
@@ -94,7 +108,7 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 3),
     }
-    if fps == 0.0 and err:
+    if err and fps == 0.0:
         out["error"] = err
     print(json.dumps(out))
 
