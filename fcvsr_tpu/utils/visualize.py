@@ -87,3 +87,18 @@ def featuremap_visual(feat, num_ch: int | None = None,
     lo, hi = m.min(), m.max()
     scale = 255.0 / (hi - lo) if hi > lo else 1.0
     return ((m - lo) * scale)[..., None].astype(np.float64)
+
+
+def save_comparison(path: str, lr_up: np.ndarray, sr: np.ndarray,
+                    gt: np.ndarray | None = None) -> None:
+    """Side-by-side [bicubic | SR | GT] dump (the mmedit VisualizationHook
+    equivalent, core/hooks/visualization.py).  Inputs are (H, W, C) floats in
+    [0, 255]."""
+    from PIL import Image
+
+    panels = [lr_up, sr] + ([gt] if gt is not None else [])
+    strip = np.concatenate([np.clip(p, 0, 255) for p in panels], axis=1)
+    arr = strip.astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    Image.fromarray(arr).save(path)

@@ -81,6 +81,9 @@ def main(argv=None):
     parser.add_argument("--total-iters", type=int, default=0)
     parser.add_argument("--batch-size", type=int, default=0)
     parser.add_argument("--lr-patch", type=int, default=0)
+    parser.add_argument("--val-lr-root", type=str, default="",
+                        help="periodic eval sequence dir (LR)")
+    parser.add_argument("--val-gt-root", type=str, default="")
     args = parser.parse_args(argv)
 
     from fcvsr_tpu.utils.config import ExperimentConfig, preset
@@ -142,6 +145,34 @@ def main(argv=None):
     log_f = open(log_path, "a", newline="")
     logger = csv.writer(log_f)
 
+    def run_eval(it):
+        """Periodic PSNR eval over the first validation sequence (the
+        EvalIterHook equivalent, SURVEY.md §2.7)."""
+        if not (args.val_lr_root and args.val_gt_root):
+            return
+        from fcvsr_tpu.data import ClipFolderDataset
+        from fcvsr_tpu.metrics import calculate_psnr
+
+        ds = ClipFolderDataset(lr_root=args.val_lr_root,
+                               gt_root=args.val_gt_root,
+                               window=cfg.model.num_frames,
+                               grayscale=cfg.model.in_channels == 1)
+        import jax.numpy as jnp
+
+        fwd = jax.jit(lambda p, v: model.apply(p, v))
+        psnrs = []
+        for i, window, gt in ds.iter_test_windows(ds.sequences[0]):
+            x = jnp.asarray(np.transpose(
+                window.astype(np.float32) / 255.0, (0, 3, 1, 2))[None])
+            sr = np.asarray(fwd(state.params, x))[0]
+            sr255 = np.clip(np.transpose(sr, (1, 2, 0)) * 255, 0, 255)
+            psnrs.append(calculate_psnr(sr255, gt.astype(np.float32)))
+            if i >= 7:
+                break
+        print(f"[eval] iter {it} PSNR {np.mean(psnrs):.4f}", flush=True)
+        logger.writerow([it, "eval_psnr", float(np.mean(psnrs))])
+        log_f.flush()
+
     t0 = time.time()
     for it in range(start, cfg.train.total_iters):
         lr_b, gt_b = sample_batch(rng, dataset, cfg)
@@ -157,6 +188,8 @@ def main(argv=None):
             t0 = time.time()
         if (it + 1) % cfg.train.ckpt_interval == 0:
             save_checkpoint(ckpt_dir, it + 1, state)
+        if (it + 1) % cfg.train.eval_interval == 0:
+            run_eval(it + 1)
     save_checkpoint(ckpt_dir, cfg.train.total_iters, state)
     print("training complete")
 
