@@ -25,13 +25,20 @@ import time
 import numpy as np
 
 
-def pad_to_multiple(x: np.ndarray, mult: int = 4):
-    """Pad (T, H, W, C) bottom/right with edge replication to a /mult grid."""
+def pad_to_multiple(x: np.ndarray, mult: int = 4, mode: str = "zero"):
+    """Pad (T, H, W, C) bottom/right to a /mult grid.
+
+    Default 'zero' matches the reference harness exactly: it appends zero
+    rows (test_LD_freqCVSR.py:25-27 pads 270->272 with zeroed rows) and the
+    caller crops 4x the pad off the SR output (:85-90).  'edge' replication
+    is available as a quality-first alternative.
+    """
     h, w = x.shape[1:3]
     ph = (mult - h % mult) % mult
     pw = (mult - w % mult) % mult
     if ph or pw:
-        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        np_mode = "edge" if mode == "edge" else "constant"
+        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=np_mode)
     return x, (h, w)
 
 
