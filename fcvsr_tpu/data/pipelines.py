@@ -21,7 +21,7 @@ work starts at the uint8->f32 transfer).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -15,7 +15,6 @@ module still runs (random init) for pipeline testing.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax

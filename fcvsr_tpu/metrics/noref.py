@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
 
 import numpy as np
 from scipy.ndimage import convolve as nd_convolve

@@ -26,7 +26,7 @@ Reference quirks preserved intentionally:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -9,8 +9,6 @@ compiled program, full MXU occupancy instead of batch-1 dribbling.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bicubic, resize_bilinear
 from ..ops.warp import flow_warp
-from .basicvsr import MMPixelShufflePack, MMResidualBlock
+from .basicvsr import MMResidualBlock
 from .blocks import Conv2d, pixel_shuffle
 
 __all__ = ["EDSR", "SRCNN", "MSRResNet", "RRDBNet", "RDN", "TOFlow"]

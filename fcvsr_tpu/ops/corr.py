@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,25 +30,33 @@ __all__ = ["corr_lookup"]
 
 
 @functools.lru_cache(maxsize=None)
-def _lookup_tables(h: int, w: int, half_c: int, radius: int):
-    """Precompute flat channel indices + validity mask, shapes (H, W, Q).
+def _onehot_tables(h: int, w: int, half_c: int, radius: int):
+    """One-hot selection tables, shapes (Q, H, half_c) and (Q, W, 2).
 
-    One more reference quirk reproduced here: the (2r+1)^2 delta grid is
-    built (dy, dx)-ordered but added to (x, y)-ordered coordinates
+    The per-pixel lookup index is a pure function of (h, w, q) —
+    ``(h+off_y)*2 + (w+off_x)`` with validity masking — so the whole lookup
+    factors into two one-hot contractions.  This keeps the op on the
+    MXU/VPU instead of emitting a small-index gather (which newer XLA
+    lowers via GatherScatterIndicesBitpacked — see CLAUDE.md).
+
+    Reference quirk reproduced: the (2r+1)^2 delta grid is built
+    (dy, dx)-ordered but added to (x, y)-ordered coordinates
     (CVSR_freq.py:1303-1309 vs 1343), so the *row* of the query grid offsets
     the x coordinate and the *column* offsets y.
     """
     n = 2 * radius + 1
-    hh = np.arange(h)[:, None, None]
-    ww = np.arange(w)[None, :, None]
-    q = np.arange(n * n)[None, None, :]
+    q = np.arange(n * n)
     off_x = q // n - radius  # delta[..., 0] = dy values -> added to x
     off_y = q % n - radius  # delta[..., 1] = dx values -> added to y
-    ii = hh + off_y
-    jj = ww + off_x
-    valid = (ii >= 0) & (ii < half_c) & (jj >= 0) & (jj < 2)
-    idx = np.where(valid, ii * 2 + jj, 0).astype(np.int32)
-    return idx, valid.astype(np.float32)
+
+    hh = np.arange(h)
+    ii = hh[None, :] + off_y[:, None]                     # (Q, H)
+    sel_i = (np.arange(half_c)[None, None, :] == ii[..., None])  # (Q, H, half_c)
+
+    ww = np.arange(w)
+    jj = ww[None, :] + off_x[:, None]                     # (Q, W)
+    sel_j = (np.arange(2)[None, None, :] == jj[..., None])       # (Q, W, 2)
+    return sel_i.astype(np.float32), sel_j.astype(np.float32)
 
 
 def corr_lookup(f1: jnp.ndarray, f2: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
@@ -55,9 +64,14 @@ def corr_lookup(f1: jnp.ndarray, f2: jnp.ndarray, radius: int = 4) -> jnp.ndarra
     b, h, w, c = f1.shape
     prod = f1 * f2 * (1.0 / np.sqrt(float(c)))
     # Reproduce the torch memory reinterpretation: contiguous NCHW buffer
-    # viewed as (B, H, W, C//2, 2), flattened here to channel index i*2+j.
-    flat = jnp.transpose(prod, (0, 3, 1, 2)).reshape(b, h, w, c)
-    idx, valid = _lookup_tables(h, w, c // 2, radius)
-    idx_b = jnp.broadcast_to(jnp.asarray(idx), (b, h, w, idx.shape[-1]))
-    out = jnp.take_along_axis(flat, idx_b, axis=-1)
-    return out * jnp.asarray(valid, dtype=out.dtype)
+    # viewed as (B, H, W, C//2, 2).
+    r6 = jnp.transpose(prod, (0, 3, 1, 2)).reshape(b, h, w, c // 2, 2)
+    sel_i, sel_j = _onehot_tables(h, w, c // 2, radius)
+    out = jnp.einsum(
+        "bhwij,qhi,qwj->bhwq",
+        r6,
+        jnp.asarray(sel_i, prod.dtype),
+        jnp.asarray(sel_j, prod.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out

@@ -103,16 +103,15 @@ def fps_benchmark(model, params, h=272, w=480, c=1, n_iter=20):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    np.asarray(run_n(params, x, 1))
-    np.asarray(run_n(params, x, n_iter))
-    t_base = min(
-        (lambda: (lambda t0: (np.asarray(run_n(params, x, 1)),
-                              time.perf_counter() - t0)[1])(time.perf_counter()))()
-        for _ in range(2))
-    t_full = min(
-        (lambda: (lambda t0: (np.asarray(run_n(params, x, n_iter)),
-                              time.perf_counter() - t0)[1])(time.perf_counter()))()
-        for _ in range(2))
+    def timed(n):
+        t0 = time.perf_counter()
+        np.asarray(run_n(params, x, n))
+        return time.perf_counter() - t0
+
+    timed(1)
+    timed(n_iter)  # compile both
+    t_base = min(timed(1) for _ in range(2))
+    t_full = min(timed(n_iter) for _ in range(2))
     return (n_iter - 1) / (t_full - t_base)
 
 
