@@ -58,9 +58,17 @@ class MGAA(nn.Module):
         b, h, w, _ = x.shape
         x1, x2, x3 = x[..., :d], x[..., d : 2 * d], x[..., 2 * d :]
 
-        x1_f = rfft_features(x1)  # (B, H, Wf, 2d), [imag, real]
-        x2_f = rfft_features(x2)
-        x3_f = rfft_features(x3)
+        # One batched FFT over all 3 groups (rfft2 is per-channel, so slicing
+        # the packed output is identical to three per-group FFTs — and one
+        # big FFT schedules better on TPU).
+        xf = rfft_features(x)  # (B, H, Wf, 6d): [imag(3d), real(3d)]
+
+        def group(i):
+            return jnp.concatenate(
+                [xf[..., i * d : (i + 1) * d],
+                 xf[..., (3 + i) * d : (4 + i) * d]], -1)
+
+        x1_f, x2_f, x3_f = group(0), group(1), group(2)
 
         fuse0 = Conv2d(2 * d, 1, use_bias=False, name="convfuse0")
         fuse1 = Conv2d(2 * d, 1, use_bias=False, name="convfuse1")
