@@ -43,22 +43,31 @@ def grid_sample_bilinear(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
     if padding_mode == "border":
         px = jnp.clip(px, 0.0, w - 1)
         py = jnp.clip(py, 0.0, h - 1)
+        src, oy, ox, hs, ws = x, 0, 0, h, w
+    else:
+        # zeros padding without predicate masks: surround the image with a
+        # one-pixel zero ring and clamp gather indices into it — an OOB
+        # corner tap lands on the ring (or fully clamps to it) and reads 0.
+        # Mask-free keeps bool tensors out of the program entirely (TPU
+        # runtimes dislike pred copies) and drops 4 VPU selects per tap.
+        src = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        oy, ox, hs, ws = 1, 1, h + 2, w + 2
+        # clamp far-out coordinates to land wholly inside the zero ring
+        px = jnp.clip(px, -1.5, w + 0.5)
+        py = jnp.clip(py, -1.5, h + 0.5)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     fx = px - x0
     fy = py - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32) + ox
+    y0i = y0.astype(jnp.int32) + oy
     x1i = x0i + 1
     y1i = y0i + 1
 
     def corner(yi, xi, wgt):
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        v = _gather_hw(x, yc, xc)
-        if padding_mode == "zeros":
-            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-            wgt = wgt * valid.astype(x.dtype)
+        yc = jnp.clip(yi, 0, hs - 1)
+        xc = jnp.clip(xi, 0, ws - 1)
+        v = _gather_hw(src, yc, xc)
         return v * wgt[..., None]
 
     out = corner(y0i, x0i, (1 - fy) * (1 - fx))
@@ -76,13 +85,14 @@ def grid_sample_nearest(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
     if padding_mode == "border":
         px = jnp.clip(px, 0.0, w - 1)
         py = jnp.clip(py, 0.0, h - 1)
-    xi = jnp.round(px).astype(jnp.int32)
-    yi = jnp.round(py).astype(jnp.int32)
-    v = _gather_hw(x, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
-    if padding_mode == "zeros":
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        v = v * valid[..., None].astype(x.dtype)
-    return v
+        xi = jnp.round(px).astype(jnp.int32)
+        yi = jnp.round(py).astype(jnp.int32)
+        return _gather_hw(x, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
+    # zeros padding, mask-free: zero ring + clamped indices (see bilinear)
+    src = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xi = jnp.round(jnp.clip(px, -1.0, w + 0.0)).astype(jnp.int32) + 1
+    yi = jnp.round(jnp.clip(py, -1.0, h + 0.0)).astype(jnp.int32) + 1
+    return _gather_hw(src, jnp.clip(yi, 0, h + 1), jnp.clip(xi, 0, w + 1))
 
 
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
