@@ -21,8 +21,13 @@ import subprocess
 import sys
 
 # (metric name, model, h, w) — safest first; the LAST success is reported.
+# EDVR shapes follow the reference FPS sequences; the FCVSR configs are
+# attempted last because the axon terminal's Nov-2025 libtpu returns
+# UNIMPLEMENTED on the FFT+conv-chain program shape (see CLAUDE.md) and a
+# failed execute can wedge the tunnel.
 ATTEMPTS = [
     ("edvr_fps_320x184", "edvr", 184, 320),
+    ("edvr_fps_480x272", "edvr", 272, 480),
     ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320),
     ("fcvsr_full_fps_480x272", "fcvsr", 272, 480),
 ]

@@ -34,7 +34,89 @@ __all__ = [
     "irfft_features",
     "gaussian_band_masks",
     "split_freq",
+    "set_fft_impl",
 ]
+
+# 'fft' uses jnp.fft (native FFT HLO); 'dft' lowers the packed-feature
+# transforms to explicit DFT matmuls (pure MXU — sidesteps the axon
+# terminal's UNIMPLEMENTED on fft-adjacent fusions, see CLAUDE.md, at a few
+# percent extra FLOPs).  'auto' picks 'dft' on TPU backends.
+_FFT_IMPL = "auto"
+
+
+def set_fft_impl(impl: str) -> None:
+    global _FFT_IMPL
+    assert impl in ("fft", "dft", "auto")
+    _FFT_IMPL = impl
+
+
+def _use_dft() -> bool:
+    if _FFT_IMPL == "auto":
+        return jax.default_backend() == "tpu"
+    return _FFT_IMPL == "dft"
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n: int):
+    """cos/sin DFT matrices (n, n): C[k,m]=cos(2πkm/n), S[k,m]=sin(2πkm/n)."""
+    k = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, k) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_mats(w: int):
+    """(w, wf) matrices for irfft along the last spatial axis:
+    x[n] = A_c @ X_re - A_s @ X_im."""
+    wf = w // 2 + 1
+    k = np.arange(wf)
+    n = np.arange(w)
+    ang = 2.0 * np.pi * np.outer(n, k) / w
+    wgt = np.full(wf, 2.0)
+    wgt[0] = 1.0
+    if w % 2 == 0:
+        wgt[-1] = 1.0
+    a_c = (np.cos(ang) * wgt / w).astype(np.float32)
+    a_s = (np.sin(ang) * wgt / w).astype(np.float32)
+    return a_c, a_s
+
+
+def _dft_rfft2(x: jnp.ndarray):
+    """(B, H, W, C) real -> (re, im) each (B, H, Wf, C), via MXU matmuls."""
+    b, h, w, c = x.shape
+    wf = w // 2 + 1
+    cw, sw = _dft_mats(w)
+    prec = jax.lax.Precision.HIGHEST
+    # rDFT along W: X[k] = sum_n x[n] (cos - i sin)(2πkn/W), keep k < Wf
+    cw = jnp.asarray(cw[:wf])  # (Wf, W)
+    sw = jnp.asarray(sw[:wf])
+    xr = jnp.einsum("bhwc,kw->bhkc", x, cw, precision=prec)
+    xi = -jnp.einsum("bhwc,kw->bhkc", x, sw, precision=prec)
+    # full DFT along H on complex
+    ch, sh = _dft_mats(h)
+    ch = jnp.asarray(ch)
+    sh = jnp.asarray(sh)
+    yr = (jnp.einsum("bhkc,mh->bmkc", xr, ch, precision=prec)
+          + jnp.einsum("bhkc,mh->bmkc", xi, sh, precision=prec))
+    yi = (jnp.einsum("bhkc,mh->bmkc", xi, ch, precision=prec)
+          - jnp.einsum("bhkc,mh->bmkc", xr, sh, precision=prec))
+    return yr, yi
+
+
+def _dft_irfft2(re: jnp.ndarray, im: jnp.ndarray, h: int, w: int):
+    """(B, H, Wf, C) complex parts -> (B, H, W, C) real, via MXU matmuls."""
+    prec = jax.lax.Precision.HIGHEST
+    ch, sh = _dft_mats(h)
+    ch = jnp.asarray(ch) / h
+    sh = jnp.asarray(sh) / h
+    # inverse DFT along H: Z[t] = (1/H) sum_m Y[m] e^{+2πimt/H}
+    zr = (jnp.einsum("bmkc,tm->btkc", re, ch, precision=prec)
+          - jnp.einsum("bmkc,tm->btkc", im, sh, precision=prec))
+    zi = (jnp.einsum("bmkc,tm->btkc", im, ch, precision=prec)
+          + jnp.einsum("bmkc,tm->btkc", re, sh, precision=prec))
+    a_c, a_s = _irdft_mats(w)
+    return (jnp.einsum("btkc,nk->btnc", zr, jnp.asarray(a_c), precision=prec)
+            - jnp.einsum("btkc,nk->btnc", zi, jnp.asarray(a_s), precision=prec))
 
 
 def rfft_features(x: jnp.ndarray) -> jnp.ndarray:
@@ -43,8 +125,12 @@ def rfft_features(x: jnp.ndarray) -> jnp.ndarray:
     The optimization barriers keep XLA from fusing the FFT with its
     producers/consumers — the axon TPU runtime has returned UNIMPLEMENTED on
     some fused fft+slice+conv programs (see CLAUDE.md), and the barrier costs
-    nothing measurable next to the FFT itself.
+    nothing measurable next to the FFT itself.  On TPU the transform runs as
+    explicit DFT matmuls (`set_fft_impl`).
     """
+    if _use_dft():
+        re, im = _dft_rfft2(x.astype(jnp.float32))
+        return jnp.concatenate([im, re], axis=-1).astype(x.dtype)
     x = jax.lax.optimization_barrier(x.astype(jnp.float32))
     f = jnp.fft.rfft2(x, axes=(1, 2), norm="backward")
     out = jnp.concatenate([f.imag, f.real], axis=-1)
@@ -55,6 +141,14 @@ def irfft_features(xf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """(B, H, Wf, 2C) -> (B, H, W, C): first channel half = real, second = imag
     (the reference's asymmetric unpack), irfft2 with output size (h, w)."""
     c2 = xf.shape[-1]
+    if _use_dft():
+        xf32 = xf.astype(jnp.float32)
+        real = xf32[..., : c2 // 2]
+        imag = xf32[..., c2 // 2 :]
+        # note irfft2 with s=(h, w) implicitly zero-pads/crops the freq grid;
+        # FCVSR always passes matching shapes so no padding path is needed.
+        out = _dft_irfft2(real, imag, h, w)
+        return out.astype(xf.dtype)
     xf32 = jax.lax.optimization_barrier(xf.astype(jnp.float32))
     real = xf32[..., : c2 // 2]
     imag = xf32[..., c2 // 2 :]
