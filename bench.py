@@ -20,16 +20,14 @@ import os
 import subprocess
 import sys
 
-# (metric name, model, h, w) — safest first; the LAST success is reported.
-# EDVR shapes follow the reference FPS sequences; the FCVSR configs are
-# attempted last because the axon terminal's Nov-2025 libtpu returns
-# UNIMPLEMENTED on the FFT+conv-chain program shape (see CLAUDE.md) and a
-# failed execute can wedge the tunnel.
+# (metric name, model, h, w, subprocess timeout s) — safest first; the LAST
+# success is reported.  Shapes follow the reference FPS sequences (Johnny
+# 320x184, Kimono1 480x272).  Round-1 measured: fcvsr_s 14.0 fps @320x184,
+# fcvsr full 2.73 fps @480x272 (compile ~4-6 min each through the tunnel,
+# hence the generous timeouts).
 ATTEMPTS = [
-    ("edvr_fps_320x184", "edvr", 184, 320),
-    ("edvr_fps_480x272", "edvr", 272, 480),
-    ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320),
-    ("fcvsr_full_fps_480x272", "fcvsr", 272, 480),
+    ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320, 900),
+    ("fcvsr_full_fps_480x272", "fcvsr", 272, 480, 1800),
 ]
 
 _WORKER = r"""
@@ -80,11 +78,11 @@ def main():
     repo = os.path.dirname(os.path.abspath(__file__))
     worker = _WORKER.format(repo=repo)
     fps, metric, err = 0.0, ATTEMPTS[0][0], None
-    for name, model_name, h, w in ATTEMPTS:
+    for name, model_name, h, w, tmo in ATTEMPTS:
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", worker, model_name, str(h), str(w)],
-                capture_output=True, text=True, timeout=900, cwd=repo)
+                capture_output=True, text=True, timeout=tmo, cwd=repo)
             for line in proc.stdout.splitlines():
                 if line.startswith("FPS_RESULT"):
                     fps = float(line.split()[1])
