@@ -3,13 +3,14 @@
 ``sac_fused`` fuses both directional passes of the separable adaptive conv
 (the hottest op inside IAC/MGAA — 6 iterations x 3 MGAA calls per forward,
 SURVEY.md §3 "hot loops") into one VMEM-resident kernel: the vertical pass
-result never round-trips to HBM, and the per-tap multiplies run on the VPU
-over (8,128)-aligned tiles.  Grid is over (batch, channel tiles); each
-program holds a full (H, W) spatial slab in VMEM — FCVSR feature maps
-(<= 272x480 x 128ch tiles) fit comfortably.
+result never round-trips to HBM, and the per-tap multiplies run on the VPU.
 
-Every kernel has an XLA fallback (ops.sac) selected by ``use_pallas=None``
-auto-detection, so CPU tests and non-TPU backends keep working.
+Current limitation: the grid is over batch only, so one program holds the
+full (H, W, C) slab plus both kernel tensors in VMEM — fine up to roughly
+96x128x64 f32, NOT yet at full Kimono shapes (272x480x64 needs ~105 MB).
+Production-shape channel/row tiling (halo rows for the vertical taps) is a
+round-2 item; until then ``use_pallas=None`` auto-selects the XLA shifted-add
+fallback (ops.sac), which XLA fuses well on its own.
 """
 
 from __future__ import annotations
@@ -80,7 +81,10 @@ def sac_fused(x: jnp.ndarray, kernel1: jnp.ndarray, kernel2: jnp.ndarray,
     kernel iff the default backend is TPU and ksize == 3.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and ksize == 3
+        # VMEM budget: x + 2 kernel tensors (7x the x bytes) must fit ~16MB
+        slab_bytes = 8 * x.shape[1] * x.shape[2] * x.shape[3] * x.dtype.itemsize
+        use_pallas = (jax.default_backend() == "tpu" and ksize == 3
+                      and slab_bytes < 12 * 1024 * 1024)
     if not use_pallas or ksize != 3:
         return sac_xla(x, kernel1, kernel2, ksize, kernel1_both)
     return _sac_pallas(x, kernel1, kernel2, kernel1_both)
