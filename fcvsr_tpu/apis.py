@@ -15,12 +15,18 @@ __all__ = ["pad_sequence", "restoration_video_inference"]
 
 
 def pad_sequence(frames: np.ndarray, window_size: int) -> np.ndarray:
-    """Mirror-pad a (T, ...) clip by window_size//2 on both ends."""
+    """Mirror-pad a (T, ...) clip by window_size//2 on both ends.
+
+    Exact reference semantics (restoration_video_inference.py:16-25): the
+    head is ``data[1+p : 1+2p]`` flipped and the tail ``data[-1-2p : -1-p]``
+    flipped — i.e. the reflection *skips* the p frames adjacent to each edge
+    rather than mirroring them (arguably a reference bug, kept for parity).
+    """
     half = window_size // 2
     if half == 0:
         return frames
-    head = frames[1 : 1 + half][::-1]
-    tail = frames[-1 - half : -1][::-1]
+    head = frames[1 + half : 1 + 2 * half][::-1]
+    tail = frames[-1 - 2 * half : -1 - half][::-1]
     return np.concatenate([head, frames, tail], axis=0)
 
 

@@ -103,7 +103,6 @@ def modulated_deform_conv2d(
         cpg = cin // groups
         opg = cout // groups
         cols_g = cols.reshape(cols.shape[:4] + (groups, cpg))
-        wk_g = wk.reshape(k, cpg, groups, opg) if cin_g == cpg else None
         # weight (kh,kw,cpg,cout) with cout = groups*opg, group g uses
         # out channels [g*opg:(g+1)*opg] and in slice g.
         wk2 = weight.reshape(k, cpg, groups, opg)

@@ -128,13 +128,14 @@ def rfft_features(x: jnp.ndarray) -> jnp.ndarray:
     nothing measurable next to the FFT itself.  On TPU the transform runs as
     explicit DFT matmuls (`set_fft_impl`).
     """
+    dt = x.dtype
     if _use_dft():
         re, im = _dft_rfft2(x.astype(jnp.float32))
-        return jnp.concatenate([im, re], axis=-1).astype(x.dtype)
+        return jnp.concatenate([im, re], axis=-1).astype(dt)
     x = jax.lax.optimization_barrier(x.astype(jnp.float32))
     f = jnp.fft.rfft2(x, axes=(1, 2), norm="backward")
     out = jnp.concatenate([f.imag, f.real], axis=-1)
-    return jax.lax.optimization_barrier(out).astype(x.dtype)
+    return jax.lax.optimization_barrier(out).astype(dt)
 
 
 def irfft_features(xf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

@@ -68,14 +68,28 @@ def restore_checkpoint(ckpt_dir: str, state: Any, step: Optional[int] = None):
     }
     if state.ema_params is not None:
         template["ema_params"] = jax.device_get(state.ema_params)
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    except Exception:
+        # EMA presence mismatch between the checkpoint and the live state
+        # (saved without EMA, restoring with — or vice versa).  Retry with
+        # the opposite template; EMA re-seeds from params when absent.
+        if "ema_params" in template:
+            template.pop("ema_params")
+        else:
+            template["ema_params"] = jax.device_get(state.params)
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     import jax.numpy as jnp
 
+    ema = state.ema_params
+    if ema is not None:
+        # seed EMA from restored params if the checkpoint had none
+        ema = restored.get("ema_params", restored["params"])
     new_state = state.replace(
         step=jnp.asarray(restored["step"], jnp.int32),
         params=restored["params"],
         opt_state=restored["opt_state"],
-        ema_params=restored.get("ema_params", state.ema_params),
+        ema_params=ema,
     )
     return new_state, step
 

@@ -141,8 +141,12 @@ void unfilter(uint8_t* raw, uint8_t* out, uint32_t h, size_t stride, int bpp) {
 }
 
 // Decode a whole file into caller-provided scratch. Returns 0 on success.
+// expected_w/expected_h (>0) bound the caller's buffer: dimensions are
+// validated right after the header parse, BEFORE any pixel is written, so an
+// oversized file can never overflow a fixed-size batch slot. Pass -1 to skip.
 int decode_file(const char* path, uint8_t* out, int out_channels,
-                int* width, int* height) {
+                int* width, int* height,
+                int expected_w = -1, int expected_h = -1) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -10;
   std::fseek(f, 0, SEEK_END);
@@ -157,6 +161,11 @@ int decode_file(const char* path, uint8_t* out, int out_channels,
   std::vector<uint8_t> idat;
   int rc = parse_png(buf.data(), buf.size(), &hdr, &idat);
   if (rc) return rc;
+  *width = int(hdr.width);
+  *height = int(hdr.height);
+  if ((expected_w > 0 && int(hdr.width) != expected_w) ||
+      (expected_h > 0 && int(hdr.height) != expected_h))
+    return -30;  // size mismatch: refuse before touching the output buffer
   size_t stride = size_t(hdr.width) * hdr.channels;
   std::vector<uint8_t> raw((stride + 1) * hdr.height);
   rc = inflate_idat(idat, raw.data(), raw.size());
@@ -164,8 +173,6 @@ int decode_file(const char* path, uint8_t* out, int out_channels,
   std::vector<uint8_t> pix(stride * hdr.height);
   unfilter(raw.data(), pix.data(), hdr.height, stride, hdr.channels);
 
-  *width = int(hdr.width);
-  *height = int(hdr.height);
   size_t n = size_t(hdr.width) * hdr.height;
   // channel conversion into out (out_channels = 1 or 3), PIL semantics:
   // L = (R*299 + G*587 + B*114) / 1000  (exact integer arithmetic).
@@ -241,10 +248,8 @@ int fcvsr_png_decode_batch(const char** paths, int n, uint8_t* out,
     pool.emplace_back([&]() {
       for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
         int w = 0, h = 0;
-        int rc = decode_file(paths[i], out + size_t(i) * frame_bytes,
-                             out_channels, &w, &h);
-        if (rc == 0 && (w != frame_w || h != frame_h)) rc = -30;
-        status[i] = rc;
+        status[i] = decode_file(paths[i], out + size_t(i) * frame_bytes,
+                                out_channels, &w, &h, frame_w, frame_h);
       }
     });
   }

@@ -9,9 +9,12 @@ from fcvsr_tpu.models import FCVSRNet
 
 
 def test_pad_sequence_mirrors():
+    # Exact mmedit indices (restoration_video_inference.py:16-25):
+    # p=2 -> head = frames[3:5] flipped, tail = frames[0:2] flipped.
+    # Verified against torch: cat([d[:,3:5].flip(1), d, d[:,-5:-3].flip(1)]).
     frames = np.arange(5)[:, None].astype(np.float32)
     out = pad_sequence(frames, 5)
-    np.testing.assert_array_equal(out[:, 0], [2, 1, 0, 1, 2, 3, 4, 3, 2])
+    np.testing.assert_array_equal(out[:, 0], [4, 3, 0, 1, 2, 3, 4, 1, 0])
 
 
 def test_sliding_inference_equals_per_frame():

@@ -33,3 +33,47 @@ def test_export_import_roundtrip(tmp_path):
     for k in fa:
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
                                    atol=0, err_msg="/".join(k))
+
+
+def test_restore_ema_mismatch(tmp_path):
+    """ADVICE r1: restoring across an EMA-presence mismatch must not fail on
+    the orbax template — EMA re-seeds from params when the ckpt lacks it."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fcvsr_tpu.train import create_train_state
+    from fcvsr_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(x)
+
+    x = jnp.ones((1, 4))
+    sched = lambda step: 1e-3  # noqa: E731
+
+    # saved WITHOUT ema -> restored into a state WITH ema
+    s_plain = create_train_state(Tiny(), jax.random.PRNGKey(0), x, sched)
+    save_checkpoint(str(tmp_path / "a"), 5, s_plain)
+    s_ema = create_train_state(Tiny(), jax.random.PRNGKey(1), x, sched,
+                               use_ema=True)
+    restored, step = restore_checkpoint(str(tmp_path / "a"), s_ema)
+    assert step == 5
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(s_plain.params)[0]))
+    # ema seeded from the restored params
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree.leaves(s_plain.params)[0]))
+
+    # saved WITH ema -> restored into a state WITHOUT ema
+    save_checkpoint(str(tmp_path / "b"), 7, s_ema)
+    s_plain2 = create_train_state(Tiny(), jax.random.PRNGKey(2), x, sched)
+    restored2, step2 = restore_checkpoint(str(tmp_path / "b"), s_plain2)
+    assert step2 == 7 and restored2.ema_params is None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored2.params)[0]),
+        np.asarray(jax.tree.leaves(s_ema.params)[0]))

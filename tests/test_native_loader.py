@@ -75,3 +75,37 @@ def test_rgba_and_16bit_fallback(tmp_path):
     Image.fromarray(rgba, "RGBA").save(p1)
     got = load_image_native(str(p1))
     np.testing.assert_array_equal(got, rgba[..., :3])
+
+
+def test_batch_oversized_image_rejected_before_write(tmp_path):
+    """ADVICE r1 (medium): an oversized PNG in a batch must be rejected from
+    its header, BEFORE any pixel lands in the fixed h*w slot — previously the
+    decode wrote width*height pixels first and only then hit the size check,
+    overflowing the numpy buffer (heap corruption)."""
+    import ctypes
+
+    from fcvsr_tpu.data.native_loader import _get_lib
+
+    lib = _get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native loader unavailable")
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    big = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)  # 64x the slot
+    p_small = tmp_path / "small.png"
+    p_big = tmp_path / "big.png"
+    Image.fromarray(small).save(p_small)
+    Image.fromarray(big).save(p_big)
+
+    n = 2
+    out = np.full((n, 8, 8, 3), 0xAB, np.uint8)  # sentinel fill
+    arr = (ctypes.c_char_p * n)(str(p_small).encode(), str(p_big).encode())
+    rc = lib.fcvsr_png_decode_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 3,
+        8, 8, 2)
+    assert rc == -30
+    np.testing.assert_array_equal(out[0], small)  # good slot decoded
+    assert np.all(out[1] == 0xAB)  # bad slot: not a single byte written
