@@ -52,12 +52,49 @@ def _kaiming_normal_scaled(scale: float):
     return init
 
 
+class _SelConv(nn.Module):
+    """Conv whose parameters span ``features`` output channels but which only
+    *computes* the ``sel`` subset.  Parameter shapes/names match ``nn.Conv``
+    exactly (checkpoint-compatible); the dead output channels are never
+    produced, saving their MXU passes and HBM writes.  Used for MGAA's kernel
+    predictor, where the reference's kernel1-both-passes bug leaves every
+    ``kernel2`` half of the prediction unused (CVSR_freq.py:1272-1273)."""
+
+    features: int
+    sel: tuple  # static output-channel indices to compute
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    groups: int
+    kernel_init: object
+    bias_init: object
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = k // 2
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, cin // self.groups, self.features))
+        sel = list(self.sel)
+        w = jnp.take(kernel, jnp.asarray(sel), axis=3)
+        y = jax.lax.conv_general_dilated(
+            x, w, (self.stride, self.stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + jnp.take(bias, jnp.asarray(sel))
+        return y
+
+
 class Conv2d(nn.Module):
     """2-D conv with torch-compatible symmetric padding and init.
 
     Padding is explicit ``(k//2, k//2)`` per spatial axis (torch semantics for
     odd kernels, including stride-2 downsamples where XLA 'SAME' would pad
-    asymmetrically).
+    asymmetrically).  ``out_select``: compute only these output channels while
+    keeping full-size parameters (see ``_SelConv``).
     """
 
     features: int
@@ -67,6 +104,7 @@ class Conv2d(nn.Module):
     groups: int = 1
     init_scale: Optional[float] = None  # None => torch default init
     dtype: Optional[jnp.dtype] = None
+    out_select: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
@@ -85,6 +123,12 @@ class Conv2d(nn.Module):
         else:
             kernel_init = _kaiming_normal_scaled(self.init_scale)
             bias_init = nn.initializers.zeros
+        if self.out_select is not None:
+            return _SelConv(
+                features=self.features, sel=tuple(self.out_select),
+                kernel_size=k, stride=self.stride, use_bias=self.use_bias,
+                groups=self.groups, kernel_init=kernel_init,
+                bias_init=bias_init, name="Conv_0")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),

@@ -109,16 +109,27 @@ class MGAA(nn.Module):
         offsets_f = jnp.stack(offsets_f)  # (AC, B, H, W, 2)
         offsets_b = jnp.stack(offsets_b)
 
-        # Kernel predictor (shared for both directions).
+        # Kernel predictor (shared for both directions).  Under the reference
+        # kernel1-both bug the kernel2 halves of the prediction are dead, so
+        # F1 computes only the kernel1 output channels (full-size params via
+        # out_select — exact numerics, half the MXU passes and HBM writes).
         f_kp = Conv2d(d, 3, name="conv_KP")(x2)
-        pred_k = Conv2d(self.ac_num * d * self.ac_ks * 2, 1, name="F1")(
-            Conv2d(d, 3, name="F0")(f_kp)
-        )
+        f0 = Conv2d(d, 3, name="F0")(f_kp)
+        half = d * self.ac_ks
+        if self.kernel1_both:
+            sel = tuple(i * 2 * half + j
+                        for i in range(self.ac_num) for j in range(half))
+            pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1",
+                            out_select=sel)(f0)
+        else:
+            pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1")(f0)
 
         aligned_f = iac(x1, pred_k, offsets_f, self.ac_num, d, self.ac_ks,
-                        kernel1_both=self.kernel1_both)
+                        kernel1_both=self.kernel1_both,
+                        k1_only=self.kernel1_both)
         aligned_b = iac(x3, pred_k, offsets_b, self.ac_num, d, self.ac_ks,
-                        kernel1_both=self.kernel1_both)
+                        kernel1_both=self.kernel1_both,
+                        k1_only=self.kernel1_both)
 
         out = Conv2d(d, 3, use_bias=False, name="conv3")(
             jnp.concatenate([aligned_f, aligned_b], -1)

@@ -69,6 +69,7 @@ def iac(
     ksize: int,
     act_last: bool = True,
     kernel1_both: bool = True,
+    k1_only: bool = False,
 ) -> jnp.ndarray:
     """Iterative adaptive convolution (CVSR_freq.py:1230-1250).
 
@@ -78,13 +79,19 @@ def iac(
     Each round: warp current features by offsets[i], filter with the i-th
     predicted separable kernel, add the *original* input as residual, then
     leaky-relu(0.1).
+
+    ``k1_only``: pred_k holds only the kernel1 halves (ac_num*C*ksize
+    channels) — valid when ``kernel1_both`` since kernel2 is never applied
+    (the reference bug); the caller then skips computing kernel2 entirely.
     """
-    chunk = channels * ksize * 2
+    if k1_only:
+        assert kernel1_both, "k1_only pred_k requires the kernel1-both path"
+    chunk = channels * ksize * (1 if k1_only else 2)
     feat = feat_in
     for i in range(ac_num):
         ks = pred_k[..., i * chunk : (i + 1) * chunk]
         k1 = ks[..., : channels * ksize]
-        k2 = ks[..., channels * ksize :]
+        k2 = k1 if k1_only else ks[..., channels * ksize :]
         warped = flow_warp(feat, offsets[i])
         feat = sac(warped, k1, k2, ksize, kernel1_both=kernel1_both) + feat_in
         if i < ac_num - 1 or act_last:
