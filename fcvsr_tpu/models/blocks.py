@@ -78,13 +78,16 @@ class _SelConv(nn.Module):
                             (k, k, cin // self.groups, self.features))
         sel = list(self.sel)
         w = jnp.take(kernel, jnp.asarray(sel), axis=3)
+        # promote like nn.Conv does (mixed bf16 params / f32 activations)
+        dt = jnp.promote_types(x.dtype, w.dtype)
         y = jax.lax.conv_general_dilated(
-            x, w, (self.stride, self.stride), ((pad, pad), (pad, pad)),
+            x.astype(dt), w.astype(dt), (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + jnp.take(bias, jnp.asarray(sel))
+            y = y + jnp.take(bias, jnp.asarray(sel)).astype(dt)
         return y
 
 
