@@ -67,13 +67,23 @@ def _imresize_weights(in_len: int, out_len: int, scale: float):
     return w[:, keep], idx_clamped[:, keep]
 
 
-def matlab_imresize(img: np.ndarray, scale: float) -> np.ndarray:
-    """MATLAB imresize with bicubic kernel + antialiasing, 2-D input."""
+def matlab_imresize(img: np.ndarray, scale: float | None = None,
+                    sizes: tuple | None = None) -> np.ndarray:
+    """MATLAB imresize with bicubic kernel + antialiasing, 2-D input.
+
+    Either ``scale`` (both dims) or ``sizes`` (target (h, w); per-dimension
+    scale = out/in, MATLAB convention) must be given.
+    """
     h, w = img.shape[:2]
-    oh, ow = int(math.ceil(h * scale)), int(math.ceil(w * scale))
-    wh, ih = _imresize_weights(h, oh, scale)
+    if sizes is not None:
+        oh, ow = int(sizes[0]), int(sizes[1])
+        sh, sw = oh / h, ow / w
+    else:
+        oh, ow = int(math.ceil(h * scale)), int(math.ceil(w * scale))
+        sh = sw = scale
+    wh, ih = _imresize_weights(h, oh, sh)
     out = np.einsum("ok,okw->ow", wh, img[ih, :])
-    ww, iw = _imresize_weights(w, ow, scale)
+    ww, iw = _imresize_weights(w, ow, sw)
     out = np.einsum("ok,hok->ho", ww, out[:, iw])
     return out
 
