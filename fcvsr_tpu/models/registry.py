@@ -68,14 +68,26 @@ def _register_defaults():
     from .fcvsr_tfdc import FCVSRTFDCNet
     from .raft import RAFT
     from .sidecvsr import SIDECVSR
+    from .dic import DICNet, FeedbackHourglass
+    from .liif import LIIFEDSR, LIIFRDN
+    from .ttsr import TTSR, TTSRNet
+    from .glean import GLEANStyleGANv2
+    from .real_basicvsr import RealBasicVSRNet
+    from .stylegan2 import StyleGAN2Discriminator, StyleGAN2Generator
+    from .discriminators import ModifiedVGG, UNetDiscriminatorWithSpectralNorm
     from ..train import losses as L
+    from ..train import gan_losses as GL
 
     for cls in (BasicVSRNet, BasicVSRPlusPlus, EDVRNet, FCVSRNet, IconVSR,
                 TDANNet, SpyNet, FTVSRNet):
         BACKBONES.register_obj(cls.__name__, cls)
     BACKBONES.register_obj("TTVSRNet", TTVSRNet)
     for cls in (EDSR, MSRResNet, RDN, RRDBNet, SRCNN, TOFlow,
-                FCVSRTFDCNet, RAFT, SIDECVSR):
+                FCVSRTFDCNet, RAFT, SIDECVSR,
+                DICNet, FeedbackHourglass, LIIFEDSR, LIIFRDN, TTSR, TTSRNet,
+                GLEANStyleGANv2, RealBasicVSRNet, StyleGAN2Generator,
+                StyleGAN2Discriminator, ModifiedVGG,
+                UNetDiscriminatorWithSpectralNorm):
         BACKBONES.register_obj(cls.__name__, cls)
     BACKBONES.register_obj("FCVSR_SNet", FCVSRNet.small)
     BACKBONES.register_obj("GShiftNet", lambda **kw: FCVSRNet(in_channels=1, **kw))
@@ -86,6 +98,13 @@ def _register_defaults():
     LOSSES.register_obj("CharbonnierLossSum", L.charbonnier_sum)
     LOSSES.register_obj("L1Loss", L.l1_loss)
     LOSSES.register_obj("MSELoss", L.mse_loss)
+    LOSSES.register_obj("GANLoss", GL.gan_loss)
+    LOSSES.register_obj("GradientLoss", GL.gradient_loss)
+    LOSSES.register_obj("DiscShiftLoss", GL.disc_shift_loss)
+    LOSSES.register_obj("GradientPenaltyLoss", GL.gradient_penalty_loss)
+    LOSSES.register_obj("PerceptualLoss", GL.perceptual_loss)
+    LOSSES.register_obj("TransferalPerceptualLoss",
+                        GL.transferal_perceptual_loss)
 
 
 _register_defaults()
