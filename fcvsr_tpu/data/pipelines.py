@@ -31,6 +31,10 @@ __all__ = [
     "paired_random_crop",
     "paired_flip_rotate",
     "to_float",
+    "normalize",
+    "rescale_to_zero_one",
+    "temporal_reverse",
+    "mirror_sequence",
 ]
 
 
@@ -115,3 +119,40 @@ def paired_flip_rotate(rng: np.random.Generator, lr: np.ndarray,
 def to_float(frames_u8: np.ndarray) -> np.ndarray:
     """uint8 -> float32 in [0, 1]."""
     return frames_u8.astype(np.float32) / 255.0
+
+
+def normalize(frames: np.ndarray, mean, std,
+              to_rgb: bool = False) -> np.ndarray:
+    """Channel-wise (x - mean) / std with optional BGR->RGB flip
+    (mmedit pipelines/normalization.py:9-66 ``Normalize``).
+
+    frames: (..., H, W, C) float32.
+    """
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    if to_rgb:
+        frames = frames[..., ::-1]
+    return ((frames - mean) / std).astype(np.float32)
+
+
+def rescale_to_zero_one(frames: np.ndarray) -> np.ndarray:
+    """x / 255 as float32 (normalization.py:69-108 ``RescaleToZeroOne``)."""
+    return frames.astype(np.float32) / 255.0
+
+
+def temporal_reverse(rng: np.random.Generator, *frame_lists,
+                     reverse_ratio: float = 0.5):
+    """Randomly reverse all given frame stacks together
+    (augmentation.py:969-1010 ``TemporalReverse``).
+
+    Returns (reversed?, *stacks).
+    """
+    reverse = rng.random() < reverse_ratio
+    out = [fl[::-1] if reverse else fl for fl in frame_lists]
+    return (reverse, *out)
+
+
+def mirror_sequence(frames: np.ndarray) -> np.ndarray:
+    """(x1..xN) -> (x1..xN, xN..x1) along the time axis
+    (augmentation.py:1083-1121 ``MirrorSequence``)."""
+    return np.concatenate([frames, frames[::-1]], axis=0)

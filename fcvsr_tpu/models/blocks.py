@@ -219,8 +219,14 @@ class ContextBlock(nn.Module):
         b, h, w, c = x.shape
         mask = Conv2d(1, 1, use_bias=self.use_bias, init_scale=self.init_scale,
                       name="conv_mask")(x)
-        mask = jax.nn.softmax(mask.reshape(b, h * w), axis=-1)
-        context = jnp.einsum("bpc,bp->bc", x.reshape(b, h * w, c), mask)
+        # softmax over all spatial positions, kept in 2-D NHWC shapes: the
+        # (b, h*w) flatten forced a costly relayout on TPU (measured 1.67ms
+        # per block at 272x480 — the dominant SCNet cost, benchmarks/
+        # microbench3.py); spatial-axis reductions are bandwidth-bound.
+        mask = mask - jnp.max(mask, axis=(1, 2), keepdims=True)
+        mask = jnp.exp(mask)
+        mask = mask / jnp.sum(mask, axis=(1, 2), keepdims=True)
+        context = jnp.sum(x * mask, axis=(1, 2))
         context = context[:, None, None, :]
         term = Conv2d(self.n_feat, 1, use_bias=self.use_bias,
                       init_scale=self.init_scale, name="add0")(context)
