@@ -78,6 +78,7 @@ def main():
     repo = os.path.dirname(os.path.abspath(__file__))
     worker = _WORKER.format(repo=repo)
     fps, metric, err = 0.0, ATTEMPTS[0][0], None
+    ladder = {}
     for name, model_name, h, w, tmo in ATTEMPTS:
         try:
             proc = subprocess.run(
@@ -87,6 +88,7 @@ def main():
                 if line.startswith("FPS_RESULT"):
                     fps = float(line.split()[1])
                     metric = name
+                    ladder[name] = round(fps, 3)
                     break
             else:
                 err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
@@ -110,6 +112,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 3),
+        "all": ladder,  # every ladder entry that completed this run
     }
     if err and fps == 0.0:
         out["error"] = err

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fcvsr_tpu.models import FCVSRNet
 from fcvsr_tpu.utils.checkpoint import export_torch_style
@@ -77,3 +78,51 @@ def test_restore_ema_mismatch(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(restored2.params)[0]),
         np.asarray(jax.tree.leaves(s_ema.params)[0]))
+
+
+@pytest.mark.parametrize("small,in_channels", [(False, 1), (False, 3),
+                                               (True, 1), (True, 3)])
+def test_export_tool_all_widths(tmp_path, small, in_channels):
+    """tools/export_torch_ckpt.py: .pth (torch-mirror state_dict) -> .npz ->
+    convert_torch_state_dict for all four model widths (full/S x Y/RGB)."""
+    import torch
+
+    import tools.export_torch_ckpt as tool
+    from tests.torch_mirror import FCVSRTorchMirror
+
+    torch.manual_seed(0)
+    if small:
+        tm = FCVSRTorchMirror(ac_num=3, freq_inv=4, sc_groups=4, up_ksize=1,
+                              in_channels=in_channels)
+        jm = FCVSRNet.small(in_channels=in_channels)
+    else:
+        tm = FCVSRTorchMirror(in_channels=in_channels)
+        jm = FCVSRNet(in_channels=in_channels)
+
+    pth = str(tmp_path / "ckpt.pth")
+    # mmcv-style wrapper + generator prefix, the hardest flavour
+    torch.save({"state_dict": {f"generator.{k}": v
+                               for k, v in tm.state_dict().items()}}, pth)
+    npz = str(tmp_path / "weights.npz")
+    tool.main(["--pth", pth, "--out", npz])
+
+    state = dict(np.load(npz))
+    x = jnp.zeros((1, 7, in_channels, 16, 16), jnp.float32)
+    params0 = jm.init(jax.random.PRNGKey(0), x)
+    params = convert_torch_state_dict(state, params0)
+
+    # every leaf was overwritten by converted torch weights
+    import flax
+
+    fa = flax.traverse_util.flatten_dict(params0["params"])
+    fb = flax.traverse_util.flatten_dict(params["params"])
+    assert set(fa) == set(fb)
+
+    # forward parity on one width keeps the mapping honest end-to-end
+    if small and in_channels == 1:
+        xr = np.random.default_rng(1).uniform(
+            0, 1, (1, 7, 1, 16, 16)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(xr)).numpy()
+        got = np.asarray(jm.apply(params, jnp.asarray(xr)))
+        assert np.abs(got - ref).max() < 1e-4
