@@ -39,11 +39,27 @@ def data_parallel_shardings(mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch onto the mesh, sharded along the leading axis."""
+    """Place a host batch onto the mesh, sharded along the leading axis.
+
+    Multi-process: each host passes its *local* portion of the global batch
+    (the per-host data sharding that replaces the reference's
+    DistributedSampler) and a global array is assembled across processes.
+    """
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a host-local tree over the mesh (all hosts must hold the
+    same values — seeds are derived identically per host)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, P())
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -84,7 +84,23 @@ def main(argv=None):
     parser.add_argument("--val-lr-root", type=str, default="",
                         help="periodic eval sequence dir (LR)")
     parser.add_argument("--val-gt-root", type=str, default="")
+    # multi-host launch (replaces the reference dist_train.sh / init_dist;
+    # see docs/MULTIHOST.md for the per-host invocation recipe)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialise jax.distributed before training")
+    parser.add_argument("--coordinator", type=str, default="",
+                        help="coordinator address host:port (process 0)")
+    parser.add_argument("--num-processes", type=int, default=0)
+    parser.add_argument("--process-id", type=int, default=-1)
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        from fcvsr_tpu.parallel.dist import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None)
 
     from fcvsr_tpu.utils.config import ExperimentConfig, preset
 
@@ -124,13 +140,22 @@ def main(argv=None):
     model = build_model(cfg)
     dataset = build_dataset(cfg)
     schedule = build_schedule(cfg)
-    rng = np.random.default_rng(cfg.train.seed)
+    # per-host data stream: distinct sampling stream per process (the
+    # DistributedSampler equivalent); params stay host-identical because
+    # create_train_state uses the shared cfg seed.
+    import jax as _jax
+
+    rng = np.random.default_rng(cfg.train.seed + _jax.process_index())
 
     mesh = make_mesh()
     n_dev = len(jax.devices())
     if cfg.data.batch_size % n_dev:
         cfg.data.batch_size = max(n_dev, cfg.data.batch_size // n_dev * n_dev)
         print(f"[train] batch rounded to {cfg.data.batch_size} for {n_dev} devices")
+    if jax.process_count() > 1:
+        # cfg.data.batch_size is the GLOBAL batch; each host samples its
+        # local share and shard_batch assembles the global array.
+        cfg.data.batch_size //= jax.process_count()
 
     lr0, gt0 = sample_batch(rng, dataset, cfg)
     state = create_train_state(model, jax.random.PRNGKey(cfg.train.seed),
