@@ -1,0 +1,203 @@
+"""Fused IAC iteration (flow-warp + SAC + residual + leaky-relu) in Pallas.
+
+The IAC chain is FCVSR's hottest loop (6 iterations x 2 directions x 3 MGAA
+calls per forward; reference CVSR_freq.py:1230-1276).  Round-1 ran it as an
+XLA gather-based warp + shifted-add SAC; the gather dominates (1.27 ms per
+warp at 272x480x64, ~26 GB/s effective — benchmarks/microbench.py).
+
+This kernel processes a row tile per program and keeps everything in VMEM:
+
+* the bilinear warp is a **static separable stencil** over a source window
+  DMA'd from HBM at a per-tile dynamic base offset.  The base is
+  ``round(mean(flow))`` over the tile, so arbitrarily large smooth flows
+  stay exact; per-pixel deviations from the base are representable up to
+  ``radius`` pixels (beyond that they clamp — the XLA gather path remains
+  the bit-exact fallback for unbounded flows, ``ops.sac.iac``).
+* zero padding (reference grid_sample semantics) comes from a host-side
+  zero ring; SAC's replicate borders from first/last-row duplication inside
+  the kernel; both SAC passes use kernel1 (the reference bug — the fused
+  path only implements the shipped kernel1-both behaviour).
+* kernels arrive tap-major ((tap, c) channel layout) so in-kernel tap slices
+  are contiguous lanes (MGAA's predictor emits this layout directly via
+  ``out_select`` — a free permutation of conv output channels).
+
+Grid = (batch, row-tiles); all stencil slices are static; only the window
+DMA start is dynamic.
+
+Status (round 2): golden-tested against the XLA path in interpret mode
+(tests/test_pallas_iac.py), including large-uniform-flow and batch cases.
+Compiling ANY Pallas kernel on the current axon tunnel is blocked by
+infrastructure, not kernel content: the terminal's Mosaic AOT helper dies
+during libtpu init (missing TPU_ACCELERATOR_TYPE/TPU_WORKER_HOSTNAMES in
+its cleared env), and client-side compilation trips the deliberate libtpu
+version-mismatch guard (Nov-2025 terminal vs Jan-2026 client).  The trivial
+round-1 SAC kernel reproduces the same two failures, so this kernel is
+ready to measure the moment the terminal is upgraded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["iac_fused", "warp_sac_fused"]
+
+
+def _kernel(flow_hbm, src_hbm, k_ref, fin_ref, out_ref, *, radius, th, h, w, c,
+            pad, act, tiles):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = radius
+    wh = th + 2                       # warped rows incl. SAC halo
+    wrows = wh + 2 * r + 1            # source window rows
+    wcols = w + 2 * r + 1             # source window cols
+    bmax = pad - r - 1                # max |base| the padded source covers
+
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    t0 = ti * th
+    fr0 = jnp.clip(t0 - 1, 0, h - wh)  # first warped (absolute) row
+    m0 = t0 - fr0                      # tile row offset inside warped rows
+
+    def body(win, flw, sem_w, sem_f):
+        # ---- fetch flow rows [fr0, fr0+wh) ----
+        cp = pltpu.make_async_copy(
+            flow_hbm.at[bi, pl.ds(fr0, wh)], flw, sem_f)
+        cp.start()
+        cp.wait()
+        fx = flw[:, :, 0]
+        fy = flw[:, :, 1]
+
+        # ---- per-tile base offsets ----
+        base_y = jnp.clip(jnp.round(jnp.mean(fy)), -bmax, bmax).astype(jnp.int32)
+        base_x = jnp.clip(jnp.round(jnp.mean(fx)), -bmax, bmax).astype(jnp.int32)
+
+        # ---- window DMA: rows [fr0+base_y-r, +wrows), cols [base_x-r, +wcols)
+        row0 = fr0 + base_y - r + pad
+        col0 = base_x - r + pad
+        cp = pltpu.make_async_copy(
+            src_hbm.at[bi, pl.ds(row0, wrows), pl.ds(col0, wcols)],
+            win, sem_w)
+        cp.start()
+
+        # ---- stencil weights (independent of the window) ----
+        nx = 2 * r + 2
+        eps = 1e-4
+        a = jnp.clip(fy - base_y.astype(fy.dtype) + r, 0.0, nx - 1 - eps)
+        b = jnp.clip(fx - base_x.astype(fx.dtype) + r, 0.0, nx - 1 - eps)
+        y0 = jnp.floor(a)
+        x0 = jnp.floor(b)
+        fyf = a - y0
+        fxf = b - x0
+
+        cp.wait()
+
+        # ---- separable bilinear stencil: (2r+2)^2 static shifted fmas ----
+        warped = jnp.zeros((wh, w, c), jnp.float32)
+        wy = []
+        wx = []
+        for e in range(nx):
+            wy.append(jnp.where(y0 == e, 1.0 - fyf, 0.0)
+                      + jnp.where(y0 == e - 1, fyf, 0.0))
+            wx.append(jnp.where(x0 == e, 1.0 - fxf, 0.0)
+                      + jnp.where(x0 == e - 1, fxf, 0.0))
+        for e in range(nx):
+            for f in range(nx):
+                wgt = wy[e] * wx[f]
+                warped = warped + wgt[..., None] * win[e : e + wh, f : f + w]
+
+        # ---- SAC (kernel1 both passes), replicate borders ----
+        wpad = jnp.concatenate([warped[0:1], warped, warped[wh - 1 : wh]], 0)
+        kts = [k_ref[0, :, :, tap * c : (tap + 1) * c] for tap in range(3)]
+
+        # m0 is 1 on interior tiles, 0/2 on the first/last tile; dynamic
+        # slicing is unavailable in this TPU lowering, so take the three
+        # static variants and select (vertical pass is cheap vs the stencil).
+        def vpass(m):
+            acc = jnp.zeros((th, w, c), jnp.float32)
+            for tap in range(3):
+                acc = acc + kts[tap] * wpad[m + tap : m + tap + th]
+            return acc
+
+        v = jnp.where(m0 == 0, vpass(0),
+                      jnp.where(m0 == 2, vpass(2), vpass(1)))
+        hpad = jnp.concatenate([v[:, 0:1], v, v[:, w - 1 : w]], 1)
+        out = jnp.zeros((th, w, c), jnp.float32)
+        for tap in range(3):
+            out = out + kts[tap] * hpad[:, tap : tap + w]
+
+        out = out + fin_ref[0]
+        if act:
+            out = jnp.where(out >= 0, out, 0.1 * out)
+        out_ref[0] = out
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((wrows, wcols, c), jnp.float32),
+        pltpu.VMEM((wh, w, 2), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "tile_rows", "act", "interpret"))
+def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
+                   tile_rows: int = 8, act: bool = True,
+                   interpret: bool = False):
+    """One fused IAC iteration.
+
+    feat/feat_in: (B, H, W, C); flow: (B, H, W, 2); k1_tap_major:
+    (B, H, W, 3*C) with channel layout tap*C + c.  H must divide by
+    ``tile_rows``.  Returns leaky_relu(sac(warp(feat, flow), k1) + feat_in)
+    (activation skipped when ``act`` is False).
+    """
+    from jax.experimental import pallas as pl
+
+    b, h, w, c = feat.shape
+    if h % tile_rows:
+        raise ValueError(f"H={h} not divisible by tile_rows={tile_rows}")
+    pad = radius + 14  # covers |tile-mean flow| up to 13px
+    src = jnp.pad(feat, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    tiles = h // tile_rows
+
+    kern = functools.partial(_kernel, radius=radius, th=tile_rows, h=h, w=w,
+                             c=c, pad=pad, act=act, tiles=tiles)
+    return pl.pallas_call(
+        kern,
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # flow (manual DMA, halo)
+            pl.BlockSpec(memory_space=pl.ANY),  # padded source (manual DMA)
+            pl.BlockSpec((1, tile_rows, w, 3 * c),
+                         lambda bi, ti: (bi, ti, 0, 0)),
+            pl.BlockSpec((1, tile_rows, w, c), lambda bi, ti: (bi, ti, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_rows, w, c),
+                               lambda bi, ti: (bi, ti, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        interpret=interpret,
+    )(flow, src, k1_tap_major, feat_in)
+
+
+def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
+              act_last: bool = True, radius: int = 2, tile_rows: int = 8,
+              interpret: bool = False):
+    """Fused IAC chain (kernel1-both semantics only).
+
+    pred_k_tap_major: (B, H, W, ac_num*3*C), iteration chunks of tap-major
+    kernels; offsets: (AC, B, H, W, 2).
+    """
+    c3 = 3 * channels
+    feat = feat_in
+    for i in range(ac_num):
+        k = pred_k_tap_major[..., i * c3 : (i + 1) * c3]
+        feat = warp_sac_fused(feat, offsets[i], k, feat_in, radius=radius,
+                              tile_rows=tile_rows,
+                              act=(i < ac_num - 1 or act_last),
+                              interpret=interpret)
+    return feat

@@ -1,0 +1,87 @@
+"""Fused Pallas IAC golden tests (interpret mode) vs the exact XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fcvsr_tpu.ops.pallas_iac import iac_fused, warp_sac_fused
+from fcvsr_tpu.ops.sac import iac, sac
+from fcvsr_tpu.ops.warp import flow_warp
+
+RNG = np.random.default_rng(3)
+
+
+def _tap_major(k_c_major, c):
+    """(B,H,W,C*3) with c*3+tap layout -> (B,H,W,3*C) with tap*C+c layout."""
+    b, h, w, _ = k_c_major.shape
+    k = k_c_major.reshape(b, h, w, c, 3)
+    return jnp.moveaxis(k, -1, -2).reshape(b, h, w, 3 * c)
+
+
+def _ref_iteration(feat, flow, k1, feat_in, act=True):
+    out = sac(flow_warp(feat, flow), k1, k1, 3, kernel1_both=True) + feat_in
+    return jax.nn.leaky_relu(out, 0.1) if act else out
+
+
+@pytest.mark.parametrize("act", [True, False])
+def test_warp_sac_fused_small_flow(act):
+    b, h, w, c = 1, 16, 24, 8
+    feat = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    fin = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    flow = jnp.asarray(RNG.uniform(-1.4, 1.4, (b, h, w, 2)), jnp.float32)
+    k1 = jnp.asarray(RNG.standard_normal((b, h, w, c * 3)), jnp.float32)
+
+    ref = _ref_iteration(feat, flow, k1, fin, act)
+    got = warp_sac_fused(feat, flow, _tap_major(k1, c), fin, radius=2,
+                         tile_rows=8, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_warp_sac_fused_large_uniform_flow():
+    """A large but smooth flow is captured by the per-tile base offset."""
+    b, h, w, c = 1, 16, 24, 8
+    feat = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    fin = jnp.zeros((b, h, w, c), jnp.float32)
+    base = jnp.asarray([7.3, -5.6])
+    flow = jnp.broadcast_to(base, (b, h, w, 2)).astype(jnp.float32)
+    flow = flow + jnp.asarray(RNG.uniform(-0.9, 0.9, (b, h, w, 2)),
+                              jnp.float32)
+    k1 = jnp.asarray(RNG.standard_normal((b, h, w, c * 3)), jnp.float32)
+
+    ref = _ref_iteration(feat, flow, k1, fin)
+    got = warp_sac_fused(feat, flow, _tap_major(k1, c), fin, radius=2,
+                         tile_rows=8, act=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_iac_fused_chain_matches_xla():
+    b, h, w, c, ac = 1, 16, 24, 8, 3
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(RNG.standard_normal((b, h, w, ac * c * 3)),
+                         jnp.float32)
+    offsets = jnp.asarray(RNG.uniform(-1.2, 1.2, (ac, b, h, w, 2)),
+                          jnp.float32)
+
+    ref = iac(feat_in, pred_k, offsets, ac, c, 3, kernel1_both=True,
+              k1_only=True)
+    tap = jnp.concatenate(
+        [_tap_major(pred_k[..., i * c * 3 : (i + 1) * c * 3], c)
+         for i in range(ac)], axis=-1)
+    got = iac_fused(feat_in, tap, offsets, ac, c, radius=2, tile_rows=8,
+                    interpret=True)
+    # values grow to ~1e2 over the chain; f32 keeps ~1e-5 relative accuracy
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-3)
+
+
+def test_warp_sac_fused_batch2():
+    b, h, w, c = 2, 16, 16, 8
+    feat = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    fin = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    flow = jnp.asarray(RNG.uniform(-1.2, 1.2, (b, h, w, 2)), jnp.float32)
+    k1 = jnp.asarray(RNG.standard_normal((b, h, w, c * 3)), jnp.float32)
+    ref = _ref_iteration(feat, flow, k1, fin)
+    got = warp_sac_fused(feat, flow, _tap_major(k1, c), fin, radius=2,
+                         tile_rows=8, act=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
