@@ -19,6 +19,7 @@ TPU notes:
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -100,18 +101,40 @@ class LTAM(nn.Module):
 
 
 class FTTALayer(nn.Module):
-    """Patch-frequency multi-head attention (ftvsr.py:627-702)."""
+    """Patch-frequency multi-head attention (ftvsr.py:627-702).
+
+    ``freq_groups``: number of channel groups.
+
+    * ``None`` (default) — the gcd(channel, 64) workaround for the reference
+      defect: ``FTTA_layer.forward`` reshapes with ``view(N*64, -1, H, W)``,
+      which is invalid for the shipped FTVSR channel=144 (144 % 64 != 0) and
+      crashes upstream.  gcd grouping keeps the patch-frequency structure
+      runnable at any width, but *changes the token geometry and the q/k/v
+      projection fan-in* relative to the (crashing) reference formulation.
+    * ``64`` — the reference's exact layout; requires channel % 64 == 0
+      (e.g. the FTT_encoder default channel=192).  Weight-transplant parity
+      with the torch semantics is golden-tested in tests/test_ftta_ltam.py.
+    """
 
     channel: int = 144
     d_model: int = 144
     n_heads: int = 8
     patch: int = 8
+    freq_groups: Optional[int] = None
 
     @nn.compact
     def __call__(self, q, k, v):
         b, h, w, c = q.shape
         p = self.patch
-        g = math.gcd(c, 64)  # reference intends 64 freq groups; see module doc
+        if self.freq_groups is None:
+            g = math.gcd(c, 64)
+        else:
+            g = self.freq_groups
+            if c % g:
+                raise ValueError(
+                    f"channel {c} not divisible by freq_groups {g} — this is "
+                    "the reference FTTA defect; use freq_groups=None for the "
+                    "gcd workaround")
         cg = c // g
         d = cg * p * p
 
@@ -132,13 +155,19 @@ class FTTALayer(nn.Module):
         ke = nn.Dense(self.d_model, name="layer_k")(ks)
         ve = nn.Dense(self.d_model, name="layer_v")(vs)
 
+        # torch nn.MultiheadAttention applies its own packed input projection
+        # before the heads (in_proj) and an output projection after
+        qi = nn.Dense(self.d_model, name="in_proj_q")(qe)
+        ki = nn.Dense(self.d_model, name="in_proj_k")(ke)
+        vi = nn.Dense(self.d_model, name="in_proj_v")(ve)
+
         nh = self.n_heads
         dh = self.d_model // nh
 
         def split_heads(x):
             return jnp.transpose(x.reshape(b, -1, nh, dh), (0, 2, 1, 3))
 
-        qh, kh, vh = split_heads(qe), split_heads(ke), split_heads(ve)
+        qh, kh, vh = split_heads(qi), split_heads(ki), split_heads(vi)
         attn = jnp.einsum("bnld,bnmd->bnlm", qh, kh,
                           preferred_element_type=jnp.float32) / jnp.sqrt(
             jnp.asarray(dh, jnp.float32))

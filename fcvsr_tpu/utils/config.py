@@ -96,8 +96,42 @@ _MODELS = ("fcvsr", "fcvsr_s")
 _DATASETS = ("cvcp", "reds", "vimeo")
 
 
+_FTVSR_PRESETS = (
+    # the 7 reference FTVSR configs (configs/restorers/ftvsr/)
+    "ftvsr_cvcp", "ftvsr_cvcpLD_QP22", "ftvsr_cvcpLD_QP27",
+    "ftvsr_cvcpLD_QP32", "ftvsr_cvcpLD_QP37", "ftvsr_reds4",
+    "ftvsr_vimeo90k",
+)
+
+
+def _ftvsr_preset(name: str) -> ExperimentConfig:
+    """FTVSR recipes (FTVSR_cvcp.py etc.): TTVSR restorer + FTVSR generator,
+    Charbonnier-mean, Adam 2e-4, fix_iter 2000 (SpyNet freeze)."""
+    cfg = ExperimentConfig(name=name)
+    cfg.model.name = "ftvsr"
+    cfg.model.in_channels = 3
+    cfg.model.num_frames = 0  # recurrent: whole clip per sample
+    if "cvcp" in name:
+        cfg.data.dataset = "cvcp"
+        if "QP" in name:
+            cfg.data.qp = int(name.rsplit("QP", 1)[1])
+    elif "reds" in name:
+        cfg.data.dataset = "reds"
+    else:
+        cfg.data.dataset = "vimeo"
+    cfg.train.lr = 2e-4
+    cfg.train.schedule = "cosine_restart"
+    cfg.train.loss = "charbonnier_mean"
+    cfg.data.batch_size = 1
+    cfg.data.lr_patch = 64  # gt_patch 256
+    return cfg
+
+
 def preset(name: str) -> ExperimentConfig:
-    """Named presets: fcvsr[_s]_{cvcp,reds,vimeo}LD_QP{22,27,32,37}."""
+    """Named presets: fcvsr[_s]_{cvcp,reds,vimeo}LD_QP{22,27,32,37} plus the
+    7 FTVSR configs (ftvsr_cvcp[LD_QP*], ftvsr_reds4, ftvsr_vimeo90k)."""
+    if name in _FTVSR_PRESETS:
+        return _ftvsr_preset(name)
     for model in _MODELS:
         for ds in _DATASETS:
             for qp in _QPS:
@@ -126,4 +160,5 @@ def preset(name: str) -> ExperimentConfig:
     raise KeyError(f"unknown preset {name}; options: {PRESET_NAMES[:4]}...")
 
 
-PRESET_NAMES = [f"{m}_{d}LD_QP{q}" for m in _MODELS for d in _DATASETS for q in _QPS]
+PRESET_NAMES = ([f"{m}_{d}LD_QP{q}" for m in _MODELS for d in _DATASETS
+                 for q in _QPS] + list(_FTVSR_PRESETS))

@@ -30,6 +30,14 @@ def build_model(cfg):
     if cfg.model.name == "fcvsr_s":
         return FCVSRNet.small(in_channels=cfg.model.in_channels,
                               n_feats=cfg.model.n_feats)
+    if cfg.model.name == "ftvsr":
+        from fcvsr_tpu.models.ftvsr import FTVSRNet
+
+        return FTVSRNet(mid_channels=cfg.model.n_feats)
+    if cfg.model.name == "ttvsr":
+        from fcvsr_tpu.models.ftvsr import TTVSRNet
+
+        return TTVSRNet(mid_channels=cfg.model.n_feats)
     raise ValueError(f"unknown model {cfg.model.name}")
 
 
