@@ -10,8 +10,12 @@ brisque.py; mmedit core/evaluation/metrics.py:398-590):
   ``calculate_niqe``.
 * BRISQUE — GGD/AGGD features at two scales, scaled with the official
   feature ranges (published MATLAB release constants) and scored by the
-  released RBF-SVR (gamma=0.05, rho=-153.591); pass the released
-  ``brisque_svm_weights.pth`` path.
+  released RBF-SVR.  The released weight file holds only (sv_coef, SVs);
+  gamma=0.05 and rho=-153.591 are source-code constants in the reference
+  exactly as here (brisque.py:868-871, "SVM model parameters taken from
+  official implementation of BRISQUE on MATLAB").  The scoring chain is
+  golden-tested against an independent oracle (tests/test_metric_fidelity
+  .py).
 
 Both depend on MATLAB-convention ``imresize`` (antialiased cubic a=-0.5,
 symmetric boundary), implemented here exactly.
