@@ -192,6 +192,27 @@ class FTTALayer(nn.Module):
         return out
 
 
+class FTTEncoder(nn.Module):
+    """Stack of FTTA layers (restorers/ftvsr.py:612-625 ``FTT_encoder``):
+    v = layer0(q, k, v); then v = layer_i(k, v, v)."""
+
+    channel: int = 192
+    d_model: int = 144
+    n_heads: int = 8
+    num_layer: int = 3
+    freq_groups: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        layers = [FTTALayer(self.channel, self.d_model, self.n_heads,
+                            freq_groups=self.freq_groups, name=f"layer{i}")
+                  for i in range(self.num_layer)]
+        v = layers[0](q, k, v)
+        for i in range(1, self.num_layer):
+            v = layers[i](k, v, v)
+        return v
+
+
 class FTVSRNet(nn.Module):
     """(B, T, 3, H, W) -> (B, T, 3, 4H, 4W).  H, W multiples of 32 advised."""
 
