@@ -26,8 +26,8 @@ import sys
 # fcvsr full 2.73 fps @480x272 (compile ~4-6 min each through the tunnel,
 # hence the generous timeouts).
 ATTEMPTS = [
-    ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320, 900),
-    ("fcvsr_full_fps_480x272", "fcvsr", 272, 480, 1800),
+    ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320, 1800),
+    ("fcvsr_full_fps_480x272", "fcvsr", 272, 480, 2700),
 ]
 
 _WORKER = r"""
