@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fcvsr_tpu.apis import pad_sequence, restoration_video_inference
 from fcvsr_tpu.models import FCVSRNet
@@ -17,6 +18,7 @@ def test_pad_sequence_mirrors():
     np.testing.assert_array_equal(out[:, 0], [4, 3, 0, 1, 2, 3, 4, 1, 0])
 
 
+@pytest.mark.slow
 def test_sliding_inference_equals_per_frame():
     model = FCVSRNet.small(in_channels=1)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 7, 1, 16, 16)))

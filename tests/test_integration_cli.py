@@ -62,7 +62,7 @@ def test_train_then_eval_cycle(synthetic_dataset, tmp_path):
 def test_config_presets_roundtrip():
     from fcvsr_tpu.utils.config import ExperimentConfig, PRESET_NAMES, preset
 
-    assert len(PRESET_NAMES) == 24
+    assert len(PRESET_NAMES) == 31  # 24 FCVSR + 7 FTVSR
     for name in ["fcvsr_redsLD_QP37", "fcvsr_s_cvcpLD_QP22", "fcvsr_vimeoLD_QP27"]:
         cfg = preset(name)
         back = ExperimentConfig.from_json(cfg.to_json())

@@ -10,6 +10,7 @@ import pytest
 from fcvsr_tpu.models.sidecvsr import SIDECVSR, MVLocalAttn, _stn_warp
 
 
+@pytest.mark.slow
 def test_sidecvsr_forward_and_grad():
     m = SIDECVSR(nf=16, sc_groups=1)
     rng = np.random.default_rng(0)

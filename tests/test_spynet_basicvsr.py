@@ -100,6 +100,7 @@ def test_spynet_flow_wrapper_odd_size(spynet_pair):
     assert np.isfinite(np.asarray(flow)).all()
 
 
+@pytest.mark.slow
 def test_basicvsr_shapes_and_grad():
     from fcvsr_tpu.models.basicvsr import BasicVSRNet
 

@@ -65,6 +65,7 @@ def test_tdan_outputs():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_edvr_gradients():
     m = EDVRNet(mid_channels=8, num_blocks_extraction=1,
                 num_blocks_reconstruction=1, deform_groups=2)

@@ -228,6 +228,7 @@ def test_real_basicvsr_forward_and_cleaning():
 # ------------------------- discriminators + GAN step -------------------------
 
 
+@pytest.mark.slow
 def test_gan_restorer_train_step():
     from fcvsr_tpu.models.discriminators import \
         UNetDiscriminatorWithSpectralNorm
