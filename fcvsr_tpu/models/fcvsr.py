@@ -51,6 +51,7 @@ class MGAA(nn.Module):
     ac_num: int = 6
     corr_radius: int = 4
     kernel1_both: bool = True  # reference SAC bug (CVSR_freq.py:1272-1273)
+    warp_impl: str = "gather"  # 'stencil' = fast tiled warp (ops/warp.py)
 
     @nn.compact
     def __call__(self, x):
@@ -126,10 +127,10 @@ class MGAA(nn.Module):
 
         aligned_f = iac(x1, pred_k, offsets_f, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
-                        k1_only=self.kernel1_both)
+                        k1_only=self.kernel1_both, warp_impl=self.warp_impl)
         aligned_b = iac(x3, pred_k, offsets_b, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
-                        k1_only=self.kernel1_both)
+                        k1_only=self.kernel1_both, warp_impl=self.warp_impl)
 
         out = Conv2d(d, 3, use_bias=False, name="conv3")(
             jnp.concatenate([aligned_f, aligned_b], -1)
@@ -183,6 +184,7 @@ class FCVSRNet(nn.Module):
     up_ksize: int = 3  # FCVSR-S uses 1x1 convs in the upsampling tail
     num_frames: int = 7
     use_remat: bool = False  # rematerialize MGAA/SCNet (trade FLOPs for HBM)
+    warp_impl: str = "gather"  # 'stencil' = fast tiled IAC warp (ops/warp.py)
 
     @classmethod
     def small(cls, in_channels: int = 1, **kw):
@@ -199,7 +201,8 @@ class FCVSRNet(nn.Module):
 
         lrelu = PReLU(name="lrelu")  # single shared slope, as in reference
         mgaa_cls = nn.remat(MGAA) if self.use_remat else MGAA
-        mgaa = mgaa_cls(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num, name="MGAA")
+        mgaa = mgaa_cls(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num,
+                        warp_impl=self.warp_impl, name="MGAA")
 
         feat = Conv2d(t * nf, 3, name="feat_extract")(feats)
         f1 = feat[..., : 3 * nf]

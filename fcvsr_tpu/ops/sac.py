@@ -70,6 +70,7 @@ def iac(
     act_last: bool = True,
     kernel1_both: bool = True,
     k1_only: bool = False,
+    warp_impl: str = "gather",
 ) -> jnp.ndarray:
     """Iterative adaptive convolution (CVSR_freq.py:1230-1250).
 
@@ -83,16 +84,24 @@ def iac(
     ``k1_only``: pred_k holds only the kernel1 halves (ac_num*C*ksize
     channels) — valid when ``kernel1_both`` since kernel2 is never applied
     (the reference bug); the caller then skips computing kernel2 entirely.
+
+    ``warp_impl``: 'gather' (bit-exact reference semantics) or 'stencil'
+    (``flow_warp_stencil`` — tiled static stencil, much faster on TPU,
+    exact while per-pixel flow stays within ``radius`` of its tile mean;
+    see ops/warp.py for the contract).
     """
     if k1_only:
         assert kernel1_both, "k1_only pred_k requires the kernel1-both path"
+    from .warp import flow_warp_stencil
+
+    warp = flow_warp if warp_impl == "gather" else flow_warp_stencil
     chunk = channels * ksize * (1 if k1_only else 2)
     feat = feat_in
     for i in range(ac_num):
         ks = pred_k[..., i * chunk : (i + 1) * chunk]
         k1 = ks[..., : channels * ksize]
         k2 = k1 if k1_only else ks[..., channels * ksize :]
-        warped = flow_warp(feat, offsets[i])
+        warped = warp(feat, offsets[i])
         feat = sac(warped, k1, k2, ksize, kernel1_both=kernel1_both) + feat_in
         if i < ac_num - 1 or act_last:
             feat = jax.nn.leaky_relu(feat, 0.1)
