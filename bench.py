@@ -27,6 +27,7 @@ import sys
 # hence the generous timeouts).
 ATTEMPTS = [
     ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320, 1800),
+    ("fcvsr_full_stencil_fps_480x272", "fcvsr_stencil", 272, 480, 2700),
     ("fcvsr_full_fps_480x272", "fcvsr", 272, 480, 2700),
 ]
 
@@ -44,6 +45,11 @@ from fcvsr_tpu.models import EDVRNet, FCVSRNet
 rng = np.random.default_rng(0)
 if model_name == "fcvsr":
     model = FCVSRNet(in_channels=1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, h, w)), jnp.float32)
+elif model_name == "fcvsr_stencil":
+    # fast tiled-warp IAC (ops/warp.py flow_warp_stencil; exact for
+    # per-tile flow deviations <= 3 px — model-level dev 1e-7 on random)
+    model = FCVSRNet(in_channels=1, warp_impl="stencil")
     x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, h, w)), jnp.float32)
 elif model_name == "fcvsr_s":
     model = FCVSRNet.small(in_channels=1)
