@@ -27,7 +27,6 @@ import sys
 # hence the generous timeouts).
 ATTEMPTS = [
     ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320, 1800),
-    ("fcvsr_full_stencil_fps_480x272", "fcvsr_stencil", 272, 480, 2700),
     ("fcvsr_full_fps_480x272", "fcvsr", 272, 480, 2700),
 ]
 

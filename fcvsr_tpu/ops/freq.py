@@ -206,13 +206,41 @@ def gaussian_band_masks(num_bands: int, h: int, w: int, mode: str = "gaussian"):
     return shifted.astype(np.float32), centered.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _band_masks_halfplane(num_bands: int, h: int, w: int, mode: str):
+    """Symmetrized half-plane masks (K, H, Wf) for the rDFT band split.
+
+    The reference keeps only ``ifft2(mask * fft2(x)).real``; for a real input
+    that equals an irfft2 with the *negation-symmetrized* mask
+    M_eff[q] = (M[q] + M[-q]) / 2 — exactly, including the (bicubic-resize
+    induced) half-pixel asymmetry of the masks.
+    """
+    shifted, _ = gaussian_band_masks(num_bands, h, w, mode)
+    flipped = shifted[:, (-np.arange(h)) % h][:, :, (-np.arange(w)) % w]
+    sym = 0.5 * (shifted + flipped)
+    return np.ascontiguousarray(sym[:, :, : w // 2 + 1]).astype(np.float32)
+
+
 def split_freq(x: jnp.ndarray, num_bands: int, mode: str = "gaussian") -> jnp.ndarray:
     """Split (B, H, W, C) into (K, B, H, W, C) frequency bands.
 
     Equivalent to the reference per-channel fftn/fftshift/mask loop
-    (CVSR_freq.py:2075-2101) but as one batched complex FFT round-trip.
+    (CVSR_freq.py:2075-2101) but as one batched FFT round-trip.  On TPU the
+    round-trip runs as rDFT matmuls on the MXU with symmetrized half-plane
+    masks (identical output — the reference discards the imaginary part,
+    which is what the symmetrization reproduces; ~4x faster than the native
+    complex-FFT path through the axon runtime).
     """
     b, h, w, c = x.shape
+    if _use_dft():
+        m = jnp.asarray(_band_masks_halfplane(num_bands, h, w, mode))
+        re, im = _dft_rfft2(x.astype(jnp.float32))     # (B, H, Wf, C)
+        outs = [
+            _dft_irfft2(re * m[k][None, :, :, None],
+                        im * m[k][None, :, :, None], h, w)
+            for k in range(num_bands)
+        ]
+        return jnp.stack(outs, axis=0).astype(x.dtype)
     shifted_np, _ = gaussian_band_masks(num_bands, h, w, mode)
     shifted = jnp.asarray(shifted_np)
     xf = jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2))
