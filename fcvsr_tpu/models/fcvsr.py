@@ -124,8 +124,13 @@ class MGAA(nn.Module):
         f0 = Conv2d(d, 3, name="F0")(f_kp)
         half = d * self.ac_ks
         if self.kernel1_both:
-            sel = tuple(i * 2 * half + j
-                        for i in range(self.ac_num) for j in range(half))
+            # kernel1 halves only (the kernel2 outputs are dead under the
+            # reference bug), emitted TAP-MAJOR per iteration chunk so SAC's
+            # per-tap slices are contiguous lanes (free output permutation).
+            sel = tuple(i * 2 * half + c * self.ac_ks + t
+                        for i in range(self.ac_num)
+                        for t in range(self.ac_ks)
+                        for c in range(d))
             pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1",
                             out_select=sel)(f0)
         else:
@@ -133,10 +138,12 @@ class MGAA(nn.Module):
 
         aligned_f = iac(x1, pred_k, offsets_f, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
-                        k1_only=self.kernel1_both, warp_impl=self.warp_impl)
+                        k1_only=self.kernel1_both, warp_impl=self.warp_impl,
+                        k_tap_major=self.kernel1_both)
         aligned_b = iac(x3, pred_k, offsets_b, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
-                        k1_only=self.kernel1_both, warp_impl=self.warp_impl)
+                        k1_only=self.kernel1_both, warp_impl=self.warp_impl,
+                        k_tap_major=self.kernel1_both)
 
         out = Conv2d(d, 3, use_bias=False, name="conv3")(
             jnp.concatenate([aligned_f, aligned_b], -1)

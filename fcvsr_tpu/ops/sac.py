@@ -22,25 +22,29 @@ from .warp import flow_warp
 __all__ = ["sac", "iac"]
 
 
-def _directional_pass(x: jnp.ndarray, k: jnp.ndarray, ksize: int, axis: int) -> jnp.ndarray:
+def _directional_pass(x: jnp.ndarray, k: jnp.ndarray, ksize: int, axis: int,
+                      tap_major: bool = False) -> jnp.ndarray:
     """One adaptive-filter pass along H (axis=1) or W (axis=2).
 
-    x: (B, H, W, C);  k: (B, H, W, C*ksize) with channel layout c*ksize + tap
-    (matching the torch ``view(N, H, W, C, ksize)`` of a channels-first conv
-    output).  Replicate padding at the borders.
+    x: (B, H, W, C);  k: (B, H, W, C*ksize).  Channel layout is
+    ``c*ksize + tap`` by default (matching the torch ``view(N, H, W, C,
+    ksize)`` of a channels-first conv output); ``tap_major`` selects the
+    ``tap*C + c`` layout, whose per-tap slices are contiguous lanes on TPU
+    (no strided relayout).  Replicate padding at the borders.
     """
     b, h, w, c = x.shape
     pad = (ksize - 1) // 2
     pad_cfg = [(0, 0)] * 4
     pad_cfg[axis] = (pad, pad)
     xp = jnp.pad(x, pad_cfg, mode="edge")
-    kt = k.reshape(b, h, w, c, ksize)
+    kt = None if tap_major else k.reshape(b, h, w, c, ksize)
     out = jnp.zeros_like(x)
     size = h if axis == 1 else w
     for tap in range(ksize):
         sl = [slice(None)] * 4
         sl[axis] = slice(tap, tap + size)
-        out = out + xp[tuple(sl)] * kt[..., tap]
+        kk = k[..., tap * c : (tap + 1) * c] if tap_major else kt[..., tap]
+        out = out + xp[tuple(sl)] * kk
     return out
 
 
@@ -50,14 +54,15 @@ def sac(
     kernel2: jnp.ndarray,
     ksize: int = 3,
     kernel1_both: bool = True,
+    tap_major: bool = False,
 ) -> jnp.ndarray:
     """Separable adaptive convolution: vertical pass then horizontal pass.
 
     x: (B, H, W, C); kernel1/kernel2: (B, H, W, C*ksize).
     """
-    out = _directional_pass(x, kernel1, ksize, axis=1)
+    out = _directional_pass(x, kernel1, ksize, axis=1, tap_major=tap_major)
     k_h = kernel1 if kernel1_both else kernel2
-    return _directional_pass(out, k_h, ksize, axis=2)
+    return _directional_pass(out, k_h, ksize, axis=2, tap_major=tap_major)
 
 
 def iac(
@@ -71,6 +76,7 @@ def iac(
     kernel1_both: bool = True,
     k1_only: bool = False,
     warp_impl: str = "gather",
+    k_tap_major: bool = False,
 ) -> jnp.ndarray:
     """Iterative adaptive convolution (CVSR_freq.py:1230-1250).
 
@@ -95,6 +101,8 @@ def iac(
     from .warp import flow_warp_stencil
 
     warp = flow_warp if warp_impl == "gather" else flow_warp_stencil
+    if k_tap_major:
+        assert k1_only, "tap-major layout is only emitted on the k1 path"
     chunk = channels * ksize * (1 if k1_only else 2)
     feat = feat_in
     for i in range(ac_num):
@@ -102,7 +110,8 @@ def iac(
         k1 = ks[..., : channels * ksize]
         k2 = k1 if k1_only else ks[..., channels * ksize :]
         warped = warp(feat, offsets[i])
-        feat = sac(warped, k1, k2, ksize, kernel1_both=kernel1_both) + feat_in
+        feat = sac(warped, k1, k2, ksize, kernel1_both=kernel1_both,
+                   tap_major=k_tap_major) + feat_in
         if i < ac_num - 1 or act_last:
             feat = jax.nn.leaky_relu(feat, 0.1)
     return feat
