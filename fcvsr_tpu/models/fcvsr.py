@@ -103,11 +103,15 @@ class MGAA(nn.Module):
         # All 2*ac_num gated spectra go through ONE batched irfft: each is
         # only 4 channels, and a 4-lane DFT matmul uses ~3% of the MXU —
         # packing them restores utilisation (identical per-channel math).
+        # each ConvBlk processes the forward+backward fields as one batch
+        # (tiny 4-channel convs are dispatch-bound; identical math)
+        off_fb = jnp.concatenate([off_f, off_b], axis=0)
         gated = []
         for i in range(self.ac_num):
             blk = ConvBlk(4, index=i, name=f"mconv{i}")
-            gated.append(blk(off_f) * x2_f_sim)
-            gated.append(blk(off_b) * x2_f_sim)
+            g = blk(off_fb) * jnp.concatenate([x2_f_sim, x2_f_sim], axis=0)
+            gated.append(g[:b])
+            gated.append(g[b:])
         packed = jnp.concatenate(
             [g[..., :2] for g in gated] + [g[..., 2:] for g in gated], -1)
         fields = irfft_features(packed, h, w)  # (B, H, W, 2*ac_num*2)
