@@ -108,3 +108,75 @@ class UNetDiscriminatorWithSpectralNorm(nn.Module):
         out = lrelu(sn_conv(out, m, 3, 1, "conv_8"))
         return nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
                        name="conv_9")(out)
+
+
+class MaxFeature(nn.Module):
+    """Max-feature-map conv/linear (components/discriminators/light_cnn.py:
+    10-62): produce 2x channels, take the elementwise max of the halves."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    filter_type: str = "conv2d"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.filter_type == "conv2d":
+            k, s = self.kernel_size, self.stride
+            pad = 2 if k == 5 else (1 if k == 3 else 0)
+            y = nn.Conv(2 * self.out_channels, (k, k), strides=(s, s),
+                        padding=((pad, pad), (pad, pad)), name="filter")(x)
+        else:
+            y = nn.Dense(2 * self.out_channels, name="filter")(x)
+        a, b = jnp.split(y, 2, axis=-1)
+        return jnp.maximum(a, b)
+
+
+class LightCNN(nn.Module):
+    """LightCNN discriminator / feature net (light_cnn.py:65-110), used to
+    train DICGAN.  (B, 128, 128, C) -> (B, 1) logits; ``features_only``
+    stops after the conv trunk (LightCNNFeatureLoss's extractor)."""
+
+    in_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x, features_only: bool = False):
+        def pool(y):  # ceil_mode max pool
+            h, w = y.shape[1:3]
+            if h % 2 or w % 2:
+                y = jnp.pad(y, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)),
+                            constant_values=-jnp.inf)
+            return nn.max_pool(y, (2, 2), strides=(2, 2))
+
+        y = MaxFeature(48, 5, name="mf0")(x)
+        y = pool(y)
+        y = MaxFeature(48, 1, name="mf1")(y)
+        y = MaxFeature(96, 3, name="mf2")(y)
+        y = pool(y)
+        y = MaxFeature(96, 1, name="mf3")(y)
+        y = MaxFeature(192, 3, name="mf4")(y)
+        y = pool(y)
+        y = MaxFeature(192, 1, name="mf5")(y)
+        y = MaxFeature(128, 3, name="mf6")(y)
+        y = MaxFeature(128, 1, name="mf7")(y)
+        y = MaxFeature(128, 3, name="mf8")(y)
+        y = pool(y)
+        if features_only:
+            return y
+        y = y.reshape(y.shape[0], -1)
+        y = MaxFeature(256, filter_type="linear", name="fc0")(y)
+        y = jax.nn.leaky_relu(y, 0.2)
+        return nn.Dense(1, name="fc1")(y)
+
+
+def light_cnn_feature_loss(model: LightCNN, params, pred, gt,
+                           loss_weight: float = 1.0,
+                           criterion: str = "l1"):
+    """DICGAN feature loss (losses/feature_loss.py:53-95), NHWC images."""
+    pf = model.apply(params, pred, features_only=True)
+    gf = jax.lax.stop_gradient(model.apply(params, gt, features_only=True))
+    if criterion == "l1":
+        loss = jnp.abs(pf - gf).mean()
+    else:
+        loss = ((pf - gf) ** 2).mean()
+    return loss * loss_weight

@@ -74,7 +74,8 @@ def _register_defaults():
     from .glean import GLEANStyleGANv2
     from .real_basicvsr import RealBasicVSRNet
     from .stylegan2 import StyleGAN2Discriminator, StyleGAN2Generator
-    from .discriminators import ModifiedVGG, UNetDiscriminatorWithSpectralNorm
+    from .discriminators import (LightCNN, ModifiedVGG,
+                                 UNetDiscriminatorWithSpectralNorm)
     from ..train import losses as L
     from ..train import gan_losses as GL
 
@@ -86,7 +87,7 @@ def _register_defaults():
                 FCVSRTFDCNet, RAFT, SIDECVSR,
                 DICNet, FeedbackHourglass, LIIFEDSR, LIIFRDN, TTSR, TTSRNet,
                 GLEANStyleGANv2, RealBasicVSRNet, StyleGAN2Generator,
-                StyleGAN2Discriminator, ModifiedVGG,
+                StyleGAN2Discriminator, ModifiedVGG, LightCNN,
                 UNetDiscriminatorWithSpectralNorm):
         BACKBONES.register_obj(cls.__name__, cls)
     BACKBONES.register_obj("FCVSR_SNet", FCVSRNet.small)
@@ -105,6 +106,8 @@ def _register_defaults():
     LOSSES.register_obj("PerceptualLoss", GL.perceptual_loss)
     LOSSES.register_obj("TransferalPerceptualLoss",
                         GL.transferal_perceptual_loss)
+    from .discriminators import light_cnn_feature_loss
+    LOSSES.register_obj("LightCNNFeatureLoss", light_cnn_feature_loss)
 
 
 _register_defaults()
