@@ -161,3 +161,24 @@ class GANRestorer:
             return (g_params, d_params, g_opt, d_opt, counter + 1), logs
 
         return jax.jit(step_fn)
+
+
+def dic_losses(sr_list, heatmap_list, gt, gt_heatmap, pixel_loss=None):
+    """DIC multi-step supervision (restorers/dic.py:94-131): every iterative
+    step's SR output and landmark heatmap are supervised against the targets.
+
+    sr_list/heatmap_list: per-step NCHW tensors from DICNet; returns
+    (total, logs) with per-step components.  ``pixel_loss`` defaults to L1.
+    """
+    crit = pixel_loss or (lambda a, b: jnp.abs(a - b).mean())
+    logs = {}
+    loss_pix = 0.0
+    loss_align = 0.0
+    for step, (sr, hm) in enumerate(zip(sr_list, heatmap_list)):
+        lp = crit(sr, gt)
+        la = crit(hm, gt_heatmap)
+        logs[f"loss_pixel_v{step}"] = lp
+        logs[f"loss_align_v{step}"] = la
+        loss_pix += lp
+        loss_align += la
+    return loss_pix + loss_align, logs

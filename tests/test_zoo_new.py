@@ -281,3 +281,26 @@ def test_registry_has_new_backbones():
                  "StyleGAN2Discriminator", "ModifiedVGG",
                  "UNetDiscriminatorWithSpectralNorm", "FeedbackHourglass"):
         assert name in BACKBONES
+
+
+def test_lightcnn_and_dic_losses():
+    from fcvsr_tpu.models.discriminators import (LightCNN,
+                                                 light_cnn_feature_loss)
+    from fcvsr_tpu.models.gan_restorer import dic_losses
+
+    m = LightCNN()
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(p, x).shape == (1, 1)
+    feats = m.apply(p, x, features_only=True)
+    assert feats.shape == (1, 8, 8, 128)
+    loss = light_cnn_feature_loss(m, p, x, x * 0.5)
+    assert float(loss) > 0
+
+    srs = [jnp.ones((1, 3, 16, 16)) * v for v in (0.4, 0.6)]
+    hms = [jnp.ones((1, 5, 4, 4)) * v for v in (0.2, 0.3)]
+    total, logs = dic_losses(srs, hms, jnp.ones((1, 3, 16, 16)) * 0.5,
+                             jnp.ones((1, 5, 4, 4)) * 0.25)
+    np.testing.assert_allclose(float(total), 0.1 + 0.1 + 0.05 + 0.05,
+                               atol=1e-5)  # f32 |a-b| means
+    assert "loss_pixel_v1" in logs and "loss_align_v0" in logs
