@@ -35,6 +35,7 @@ __all__ = [
     "rescale_to_zero_one",
     "temporal_reverse",
     "mirror_sequence",
+    "generate_coordinate_and_cell",
 ]
 
 
@@ -156,3 +157,29 @@ def mirror_sequence(frames: np.ndarray) -> np.ndarray:
     """(x1..xN) -> (x1..xN, xN..x1) along the time axis
     (augmentation.py:1083-1121 ``MirrorSequence``)."""
     return np.concatenate([frames, frames[::-1]], axis=0)
+
+
+def generate_coordinate_and_cell(rng: np.random.Generator, gt: np.ndarray,
+                                 sample_quantity: int | None = None):
+    """LIIF training queries (mmedit pipelines/generate_assistant.py
+    ``GenerateCoordinateAndCell``): pixel-centre coords in [-1, 1], constant
+    cell sizes (2/H, 2/W), optionally subsampled to ``sample_quantity``
+    random positions with the matching GT values.
+
+    gt: (H, W, C) float -> (coord (Q, 2) float32 (y, x), cell (Q, 2),
+    target (Q, C)).
+    """
+    h, w, c = gt.shape
+    ys = (-1 + 1.0 / h) + (2.0 / h) * np.arange(h, dtype=np.float32)
+    xs = (-1 + 1.0 / w) + (2.0 / w) * np.arange(w, dtype=np.float32)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    coord = np.stack([gy, gx], axis=-1).reshape(-1, 2)
+    target = gt.reshape(-1, c).astype(np.float32)
+    if sample_quantity is not None and sample_quantity < coord.shape[0]:
+        idx = rng.choice(coord.shape[0], sample_quantity, replace=False)
+        coord = coord[idx]
+        target = target[idx]
+    cell = np.empty_like(coord)
+    cell[:, 0] = 2.0 / h
+    cell[:, 1] = 2.0 / w
+    return coord, cell, target
