@@ -147,10 +147,15 @@ class GANRestorer:
 
             (g_loss, (logs, sr)), g_grads = jax.value_and_grad(
                 self.generator_loss, has_aux=True)(g_params, d_params, lq, gt)
-            g_grads = jax.tree.map(
-                lambda g: jnp.where(run_g, g, jnp.zeros_like(g)), g_grads)
-            g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
-            g_params = optax.apply_updates(g_params, g_updates)
+            # gate the whole generator update (params AND optimizer state) —
+            # the reference skips optimizer.step() entirely on gated steps;
+            # stepping Adam with zero grads would still decay its moments
+            g_updates, g_opt_new = g_tx.update(g_grads, g_opt, g_params)
+            g_params_new = optax.apply_updates(g_params, g_updates)
+            pick = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(run_g, a, b), new, old)
+            g_params = pick(g_params_new, g_params)
+            g_opt = pick(g_opt_new, g_opt)
 
             (d_loss, d_logs), d_grads = jax.value_and_grad(
                 self.disc_loss, has_aux=True)(d_params, sr, gt)
