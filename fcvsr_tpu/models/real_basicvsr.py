@@ -54,23 +54,16 @@ class RealBasicVSRNet(nn.Module):
             residues = cleaning(frames)
             return frames + residues, jnp.mean(jnp.abs(residues))
 
-        if self.is_initializing():
-            # trace once outside the while_loop so params are created
-            frames, _ = clean_once(frames)
-        else:
-            def cond(state):
-                i, _, res_mean = state
-                return jnp.logical_and(i < 3, res_mean >= thres)
-
-            def body(state):
-                i, fr, _ = state
-                fr, res_mean = clean_once(fr)
-                return i + 1, fr, res_mean
-
-            # first pass always runs (reference loops then breaks on residue)
-            frames, res_mean = clean_once(frames)
-            _, frames, _ = jax.lax.while_loop(cond, body,
-                                              (jnp.int32(1), frames, res_mean))
+        # Up to 3 cleaning passes with the reference's residue early-stop.
+        # Expressed as lax.cond-gated unrolled passes (NOT a while_loop,
+        # which has no reverse-mode derivative — training needs gradients
+        # through the cleaning module).
+        frames, res_mean = clean_once(frames)
+        cont = res_mean >= thres
+        for _ in range(2):
+            frames, res_mean = jax.lax.cond(
+                cont, clean_once, lambda f: (f, jnp.float32(0)), frames)
+            cont = jnp.logical_and(cont, res_mean >= thres)
 
         cleaned = jnp.transpose(
             frames.reshape(n, t, h, w, c), (0, 1, 4, 2, 3))
