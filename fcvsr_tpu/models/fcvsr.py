@@ -226,8 +226,10 @@ class FCVSRNet(nn.Module):
         f2 = feat[..., 3 * nf : 4 * nf]
         f3 = feat[..., 4 * nf :]
 
-        g1 = mgaa(f1)
-        g3 = mgaa(f3)
+        # MGAA(f1) and MGAA(f3) share weights and are independent — run them
+        # as one batched call (exact; halves the small-op dispatch overhead)
+        g13 = mgaa(jnp.concatenate([f1, f3], axis=0))
+        g1, g3 = g13[:b], g13[b:]
         g2 = mgaa(jnp.concatenate([g1, f2, g3], -1))
 
         dec = MFFR(dim=nf, freq_inv=self.freq_inv, name="MFFRblock")(g2)
