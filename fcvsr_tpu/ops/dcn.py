@@ -55,15 +55,15 @@ def _deform_im2col(x, offset, kernel_size, stride, padding, dilation,
           + tap_x[None, None, None, None, :]
           + off[..., 1])
 
-    # per deform-group gather over its channel slice
-    outs = []
-    for g in range(dg):
-        xg = x[..., g * cg : (g + 1) * cg]
-        pyg = py[:, :, :, g, :].reshape(b, ho * wo * k)
-        pxg = px[:, :, :, g, :].reshape(b, ho * wo * k)
-        sg = grid_sample_bilinear(xg, pxg, pyg)  # (B, P, cg)
-        outs.append(sg.reshape(b, ho, wo, k, cg))
-    return jnp.concatenate(outs, -1)  # (B, Ho, Wo, K, C)
+    # one gather for all deform groups: fold the group axis into batch
+    # (separate per-group gathers issued dg tiny-row gathers; identical math)
+    xg = x.reshape(b, h, w, dg, cg)
+    xg = jnp.moveaxis(xg, 3, 1).reshape(b * dg, h, w, cg)
+    pyg = jnp.moveaxis(py, 3, 1).reshape(b * dg, ho * wo * k)
+    pxg = jnp.moveaxis(px, 3, 1).reshape(b * dg, ho * wo * k)
+    sg = grid_sample_bilinear(xg, pxg, pyg)          # (B*dg, P, cg)
+    sg = sg.reshape(b, dg, ho, wo, k, cg)
+    return jnp.moveaxis(sg, 1, 4).reshape(b, ho, wo, k, c)
 
 
 def modulated_deform_conv2d(
