@@ -55,15 +55,17 @@ def _deform_im2col(x, offset, kernel_size, stride, padding, dilation,
           + tap_x[None, None, None, None, :]
           + off[..., 1])
 
-    # one gather for all deform groups: fold the group axis into batch
-    # (separate per-group gathers issued dg tiny-row gathers; identical math)
-    xg = x.reshape(b, h, w, dg, cg)
-    xg = jnp.moveaxis(xg, 3, 1).reshape(b * dg, h, w, cg)
-    pyg = jnp.moveaxis(py, 3, 1).reshape(b * dg, ho * wo * k)
-    pxg = jnp.moveaxis(px, 3, 1).reshape(b * dg, ho * wo * k)
-    sg = grid_sample_bilinear(xg, pxg, pyg)          # (B*dg, P, cg)
-    sg = sg.reshape(b, dg, ho, wo, k, cg)
-    return jnp.moveaxis(sg, 1, 4).reshape(b, ho, wo, k, c)
+    # TPU gather throughput scales with row width: gather FULL-channel rows
+    # at every group's positions and slice each group's channel block
+    # afterwards — dg x more logical bytes but wider rows; measured 1.8x
+    # (132 -> 73.5ms) at EDVR shape (184x320x64, dg=8) vs per-group
+    # small-row gathers.
+    pyg = jnp.moveaxis(py, 3, 1).reshape(b, dg * ho * wo * k)
+    pxg = jnp.moveaxis(px, 3, 1).reshape(b, dg * ho * wo * k)
+    sg = grid_sample_bilinear(x, pxg, pyg)           # (B, dg*P, C)
+    sg = sg.reshape(b, dg, ho, wo, k, c)
+    sel = [sg[:, g, :, :, :, g * cg : (g + 1) * cg] for g in range(dg)]
+    return jnp.concatenate(sel, axis=-1)             # (B, Ho, Wo, K, C)
 
 
 def modulated_deform_conv2d(
