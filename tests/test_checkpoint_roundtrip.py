@@ -126,3 +126,39 @@ def test_export_tool_all_widths(tmp_path, small, in_channels):
             ref = tm(torch.from_numpy(xr)).numpy()
         got = np.asarray(jm.apply(params, jnp.asarray(xr)))
         assert np.abs(got - ref).max() < 1e-4
+
+
+def test_publish_model_from_npz(tmp_path):
+    import tools.publish_model as pub
+
+    src = tmp_path / "w.npz"
+    np.savez(src, **{"a.weight": np.ones((2, 2), np.float32),
+                     "b.bias": np.zeros(3, np.float32)})
+    final = pub.publish(str(src), str(tmp_path / "mymodel"))
+    assert final.endswith(".npz")
+    import re
+
+    assert re.search(r"mymodel-[0-9a-f]{8}\.npz$", final)
+    data = np.load(final)
+    assert set(data.files) == {"a.weight", "b.bias"}
+
+
+def test_export_aot_roundtrip(tmp_path):
+    from jax import export as jexport
+
+    import tools.export_aot as ea
+    from fcvsr_tpu.utils.config import preset
+
+    cfg = preset("fcvsr_s_redsLD_QP37")
+    exported, params = ea.export_model(cfg, 16, 16)
+    blob = exported.serialize()
+    back = jexport.deserialize(blob)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 7, 3, 16, 16)), jnp.float32)
+    got = np.asarray(back.call(params, x))
+
+    import train as train_cli
+
+    model = train_cli.build_model(cfg)
+    ref = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
