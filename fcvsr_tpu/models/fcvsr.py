@@ -103,15 +103,14 @@ class MGAA(nn.Module):
         # All 2*ac_num gated spectra go through ONE batched irfft: each is
         # only 4 channels, and a 4-lane DFT matmul uses ~3% of the MXU —
         # packing them restores utilisation (identical per-channel math).
-        # each ConvBlk processes the forward+backward fields as one batch
-        # (tiny 4-channel convs are dispatch-bound; identical math)
-        off_fb = jnp.concatenate([off_f, off_b], axis=0)
+        # (per-direction ConvBlk calls: batching f/b along the batch axis
+        # measured neutral and that axis is the data-sharded one — see the
+        # MGAA batching note above)
         gated = []
         for i in range(self.ac_num):
             blk = ConvBlk(4, index=i, name=f"mconv{i}")
-            g = blk(off_fb) * jnp.concatenate([x2_f_sim, x2_f_sim], axis=0)
-            gated.append(g[:b])
-            gated.append(g[b:])
+            gated.append(blk(off_f) * x2_f_sim)
+            gated.append(blk(off_b) * x2_f_sim)
         packed = jnp.concatenate(
             [g[..., :2] for g in gated] + [g[..., 2:] for g in gated], -1)
         fields = irfft_features(packed, h, w)  # (B, H, W, 2*ac_num*2)
@@ -226,10 +225,14 @@ class FCVSRNet(nn.Module):
         f2 = feat[..., 3 * nf : 4 * nf]
         f3 = feat[..., 4 * nf :]
 
-        # MGAA(f1) and MGAA(f3) share weights and are independent — run them
-        # as one batched call (exact; halves the small-op dispatch overhead)
-        g13 = mgaa(jnp.concatenate([f1, f3], axis=0))
-        g1, g3 = g13[:b], g13[b:]
+        # NOTE: MGAA(f1)/MGAA(f3) share weights and could be batched into one
+        # call along the batch axis, but that axis is the data-parallel
+        # sharded axis — the concat/split forces resharding collectives on a
+        # mesh and perturbs grad reduction order (breaks the pinned
+        # sharded==single-device train-step equivalence).  Keep them
+        # sequential.
+        g1 = mgaa(f1)
+        g3 = mgaa(f3)
         g2 = mgaa(jnp.concatenate([g1, f2, g3], -1))
 
         dec = MFFR(dim=nf, freq_inv=self.freq_inv, name="MFFRblock")(g2)
