@@ -270,3 +270,26 @@ def test_make_lmdb_tool_roundtrip(tmp_path):
     np.testing.assert_array_equal(img, ref)
     assert os.path.exists(os.path.join(lmdb_path, "meta_info.txt"))
     assert os.path.exists(os.path.join(lmdb_path, "lock.mdb"))
+
+
+def test_extract_subimages_tool(tmp_path):
+    from PIL import Image
+
+    import tools.preprocess_reds_dataset as prep
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (10, 14, 3), np.uint8)
+    Image.fromarray(img).save(src / "0001x4.png")
+
+    out = tmp_path / "sub"
+    prep.extract_subimages(str(src), str(out), crop_size=6, step=4,
+                           thresh_size=0)
+    names = sorted(os.listdir(out))
+    # h_space = [0, 4], w_space = [0, 4, 8]; x4 stripped from the name
+    assert len(names) == 6 and names[0] == "0001_s001.png"
+    first = np.asarray(Image.open(out / "0001_s001.png"))
+    np.testing.assert_array_equal(first, img[:6, :6])
+    last = np.asarray(Image.open(out / "0001_s006.png"))
+    np.testing.assert_array_equal(last, img[4:10, 8:14])

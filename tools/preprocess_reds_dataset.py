@@ -94,3 +94,45 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def extract_subimages(input_folder: str, save_folder: str,
+                      crop_size: int = 480, step: int = 240,
+                      thresh_size: int = 0, compress_level: int = 3):
+    """Cut large frames into overlapped sub-images for patch training
+    (reference tools/data/super-resolution/div2k/preprocess_div2k_dataset.py
+    ``extract_subimages``/``worker``): sliding window of ``crop_size`` at
+    ``step``, with a final window flush against each edge when the remainder
+    exceeds ``thresh_size``.  Output names '<name>_s{idx:03d}.png'."""
+    import re
+
+    from PIL import Image
+
+    if os.path.exists(save_folder):
+        raise FileExistsError(f"{save_folder} already exists")
+    os.makedirs(save_folder)
+
+    names = sorted(f for f in os.listdir(input_folder) if f.endswith(".png"))
+    if not names:
+        raise FileNotFoundError(f"no PNGs under {input_folder}")
+    count = 0
+    for fname in names:
+        img = np.asarray(Image.open(os.path.join(input_folder, fname)))
+        name = re.sub("x[2348]", "", os.path.splitext(fname)[0])
+        h, w = img.shape[:2]
+        h_space = list(range(0, h - crop_size + 1, step))
+        if h - (h_space[-1] + crop_size) > thresh_size:
+            h_space.append(h - crop_size)
+        w_space = list(range(0, w - crop_size + 1, step))
+        if w - (w_space[-1] + crop_size) > thresh_size:
+            w_space.append(w - crop_size)
+        idx = 0
+        for y in h_space:
+            for x in w_space:
+                idx += 1
+                patch = img[y : y + crop_size, x : x + crop_size]
+                Image.fromarray(patch).save(
+                    os.path.join(save_folder, f"{name}_s{idx:03d}.png"),
+                    compress_level=compress_level)
+                count += 1
+    print(f"wrote {count} sub-images to {save_folder}")
