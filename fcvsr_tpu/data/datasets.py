@@ -123,6 +123,22 @@ class ClipFolderDataset:
         lr, gt = paired_flip_rotate(rng, lr, gt)
         return to_float(lr), to_float(gt[0])
 
+    def sample_train_sequence(self, rng: np.random.Generator,
+                              lr_patch: int = 64):
+        """Random window with per-frame GT (recurrent models: FTVSR/TTVSR/
+        BasicVSR-family training, mmedit SRREDSMultipleGTDataset semantics).
+
+        Returns (lr (T,p,p,C) f32, gt (T,P,P,C) f32)."""
+        seq = self.sequences[int(rng.integers(len(self.sequences)))]
+        lr_paths, gt_paths = self.seq_frames(seq)
+        assert gt_paths, "training needs gt_root"
+        idx = segment_indices(rng, len(lr_paths), self.window)
+        lr = np.stack([load_image(lr_paths[j], self.grayscale) for j in idx])
+        gt = np.stack([load_image(gt_paths[j], self.grayscale) for j in idx])
+        lr, gt = paired_random_crop(rng, lr, gt, lr_patch, self.scale)
+        lr, gt = paired_flip_rotate(rng, lr, gt)
+        return to_float(lr), to_float(gt)
+
 
 _ANN_RE = re.compile(r"^(\S+)\s+(\d+)\s+\((\d+),(\d+),(\d+)\)")
 

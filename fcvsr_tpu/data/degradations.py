@@ -413,9 +413,10 @@ class RandomNoise:
         for img in imgs:
             noise = img.copy()
             if gray:
-                # reference converts BGR->GRAY; ITU-R 601 luma
-                luma = (0.299 * noise[..., 2] + 0.587 * noise[..., 1]
-                        + 0.114 * noise[..., 0])
+                # reference: cv2.cvtColor(noise[..., [2,1,0]], BGR2GRAY) on
+                # RGB pipeline images == ITU-R 601 luma on RGB order
+                luma = (0.299 * noise[..., 0] + 0.587 * noise[..., 1]
+                        + 0.114 * noise[..., 2])
                 noise = luma[..., None]
             noise = np.clip((noise * 255.0).round(), 0, 255) / 255.0
             unique = 2 ** np.ceil(np.log2(len(np.unique(noise))))

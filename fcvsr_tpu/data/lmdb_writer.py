@@ -194,11 +194,13 @@ class LmdbWriter:
             # free_db: empty
             struct.pack_into("<IHHQQQQQ", page, off + 24, 0, 0, 0, 0, 0, 0, 0,
                              0xFFFFFFFFFFFFFFFF)
-            # main_db
+            # main_db (md_root is the last field, at off+112)
             struct.pack_into("<IHHQQQQQ", page, off + 72, 0, 0, depth,
                              branch_pages, len(leaf_pgnos), n_overflow,
                              len(items), root)
-            struct.pack_into("<QQ", page, off + 112, last_pg, txnid)
+            # mm_last_pg at +120, mm_txnid at +128 (after the 48-byte
+            # main_db record) — packing at +112 would clobber md_root
+            struct.pack_into("<QQ", page, off + 120, last_pg, txnid)
             return bytes(page)
 
         with open(os.path.join(self.path, "data.mdb"), "wb") as f:

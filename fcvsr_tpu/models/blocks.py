@@ -68,6 +68,7 @@ class _SelConv(nn.Module):
     groups: int
     kernel_init: object
     bias_init: object
+    dtype: Optional[jnp.dtype] = None  # compute dtype, like nn.Conv's
 
     @nn.compact
     def __call__(self, x):
@@ -78,8 +79,9 @@ class _SelConv(nn.Module):
                             (k, k, cin // self.groups, self.features))
         sel = list(self.sel)
         w = jnp.take(kernel, jnp.asarray(sel), axis=3)
-        # promote like nn.Conv does (mixed bf16 params / f32 activations)
-        dt = jnp.promote_types(x.dtype, w.dtype)
+        # promote like nn.Conv does (mixed bf16 params / f32 activations),
+        # honouring an explicit compute dtype when set
+        dt = self.dtype or jnp.promote_types(x.dtype, w.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(dt), w.astype(dt), (self.stride, self.stride),
             ((pad, pad), (pad, pad)),
@@ -131,7 +133,7 @@ class Conv2d(nn.Module):
                 features=self.features, sel=tuple(self.out_select),
                 kernel_size=k, stride=self.stride, use_bias=self.use_bias,
                 groups=self.groups, kernel_init=kernel_init,
-                bias_init=bias_init, name="Conv_0")(x)
+                bias_init=bias_init, dtype=self.dtype, name="Conv_0")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),

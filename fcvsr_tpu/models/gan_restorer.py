@@ -122,10 +122,14 @@ class GANRestorer:
         real_pred = self.disc_apply(d_params, gt_f)
         fake_pred = self.disc_apply(d_params, sr_detached)
         if self.relativistic:
-            ld_real = gan_loss(real_pred - fake_pred.mean(), True,
-                               self.gan_type, is_disc=True) * 0.5
-            ld_fake = gan_loss(fake_pred - real_pred.mean(), False,
-                               self.gan_type, is_disc=True) * 0.5
+            # reference esrgan.py detaches the opposing prediction's mean in
+            # each term so only the named branch receives gradient
+            ld_real = gan_loss(
+                real_pred - jax.lax.stop_gradient(fake_pred).mean(), True,
+                self.gan_type, is_disc=True) * 0.5
+            ld_fake = gan_loss(
+                fake_pred - jax.lax.stop_gradient(real_pred).mean(), False,
+                self.gan_type, is_disc=True) * 0.5
         else:
             ld_real = gan_loss(real_pred, True, self.gan_type, is_disc=True)
             ld_fake = gan_loss(fake_pred, False, self.gan_type, is_disc=True)

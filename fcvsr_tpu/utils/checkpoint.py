@@ -53,6 +53,29 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return mgr.latest_step()
 
 
+def _ckpt_contains(mgr, step: int, key: str) -> bool:
+    """Whether the saved composite at ``step`` has a top-level ``key``.
+
+    The saved tree structure lives in the item's ``_METADATA`` JSON (ocdbt
+    layout); ``item_metadata`` needs a handler registry we don't configure.
+    """
+    import glob
+    import json
+
+    for path in glob.glob(os.path.join(str(mgr.directory), str(step), "*",
+                                       "_METADATA")):
+        try:
+            meta = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        tree = meta.get("tree_metadata", meta)
+        if any(k == key or k.startswith(f"('{key}'")
+               or k.strip("()' ").startswith(key)
+               for k in tree):
+            return True
+    return False
+
+
 def restore_checkpoint(ckpt_dir: str, state: Any, step: Optional[int] = None):
     """Restore into the structure of ``state``; returns (state, step)."""
     import orbax.checkpoint as ocp
@@ -66,19 +89,15 @@ def restore_checkpoint(ckpt_dir: str, state: Any, step: Optional[int] = None):
         "params": jax.device_get(state.params),
         "opt_state": jax.device_get(state.opt_state),
     }
-    if state.ema_params is not None:
-        template["ema_params"] = jax.device_get(state.ema_params)
-    try:
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-    except Exception:
-        # EMA presence mismatch between the checkpoint and the live state
-        # (saved without EMA, restoring with — or vice versa).  Retry with
-        # the opposite template; EMA re-seeds from params when absent.
-        if "ema_params" in template:
-            template.pop("ema_params")
-        else:
-            template["ema_params"] = jax.device_get(state.params)
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    # Shape the template to what the checkpoint actually CONTAINS (EMA may
+    # be present or absent independently of the live state) — inspecting the
+    # saved structure keeps unrelated restore failures diagnosable instead
+    # of being masked by a retry with a mutated template.
+    ckpt_has_ema = _ckpt_contains(mgr, step, "ema_params")
+    if ckpt_has_ema:
+        template["ema_params"] = jax.device_get(
+            state.ema_params if state.ema_params is not None else state.params)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     import jax.numpy as jnp
 
     ema = state.ema_params

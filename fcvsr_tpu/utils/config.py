@@ -110,7 +110,9 @@ def _ftvsr_preset(name: str) -> ExperimentConfig:
     cfg = ExperimentConfig(name=name)
     cfg.model.name = "ftvsr"
     cfg.model.in_channels = 3
-    cfg.model.num_frames = 0  # recurrent: whole clip per sample
+    # recurrent training segment length (the reference trains on long
+    # REDS segments; 7 keeps CLI training tractable — raise via --config)
+    cfg.model.num_frames = 7
     if "cvcp" in name:
         cfg.data.dataset = "cvcp"
         if "QP" in name:

@@ -293,3 +293,18 @@ def test_extract_subimages_tool(tmp_path):
     np.testing.assert_array_equal(first, img[:6, :6])
     last = np.asarray(Image.open(out / "0001_s006.png"))
     np.testing.assert_array_equal(last, img[4:10, 8:14])
+
+
+def test_lmdb_empty_database(tmp_path):
+    """Meta-layout regression: md_root must stay the empty sentinel when no
+    items are written (a last_pg/txnid pack at the wrong offset used to
+    clobber it)."""
+    from fcvsr_tpu.data.lmdb_reader import LmdbReader
+    from fcvsr_tpu.data.lmdb_writer import write_lmdb
+
+    path = str(tmp_path / "empty.lmdb")
+    write_lmdb(path, {})
+    r = LmdbReader(path)
+    assert r.entries == 0
+    assert r.get(b"anything") is None
+    assert list(r.keys()) == []

@@ -48,12 +48,26 @@ def export_model(cfg, h: int, w: int, params=None):
     return jexport.export(fwd)(spec_params, spec_x), params
 
 
+def _load_flax_npz(path: str):
+    """Published .npz (tools/publish_model.py: flax paths joined by '.')
+    back into a {'params': tree}."""
+    import flax
+
+    data = np.load(path)
+    flat = {tuple(k.split(".")): data[k] for k in data.files}
+    return {"params": flax.traverse_util.unflatten_dict(flat)}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", required=True)
     ap.add_argument("--height", type=int, required=True)
     ap.add_argument("--width", type=int, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", default="",
+                    help="orbax checkpoint dir (train.py work dir)")
+    ap.add_argument("--npz", default="",
+                    help=".npz from tools/publish_model.py")
     ap.add_argument("--cpu", action="store_true",
                     help="lower for CPU (default: current backend)")
     args = ap.parse_args(argv)
@@ -66,7 +80,18 @@ def main(argv=None):
     from fcvsr_tpu.utils.config import preset
 
     cfg = preset(args.preset)
-    exported, _ = export_model(cfg, args.height, args.width)
+    params = None
+    if args.npz:
+        params = _load_flax_npz(args.npz)
+    elif args.checkpoint:
+        import tools.publish_model as pub
+
+        flat = pub._load_params(args.checkpoint, use_ema=False)
+        import flax
+
+        params = {"params": flax.traverse_util.unflatten_dict(
+            {tuple(k.split(".")): v for k, v in flat.items()})}
+    exported, _ = export_model(cfg, args.height, args.width, params=params)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)

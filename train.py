@@ -67,14 +67,21 @@ def build_dataset(cfg):
 
 
 def sample_batch(rng, dataset, cfg):
+    """FCVSR-style models: (B,T,C,H,W) windows + centre-frame GT.
+    Recurrent models (ftvsr/ttvsr): per-frame GT sequences."""
+    sequence_gt = cfg.model.name in ("ftvsr", "ttvsr")
     lrs, gts = [], []
     for _ in range(cfg.data.batch_size):
-        if hasattr(dataset, "sample_train_window"):
+        if sequence_gt:
+            lr, gt = dataset.sample_train_sequence(rng, cfg.data.lr_patch)
+            gts.append(np.transpose(gt, (0, 3, 1, 2)))   # (T,C,4H,4W)
+        elif hasattr(dataset, "sample_train_window"):
             lr, gt = dataset.sample_train_window(rng, cfg.data.lr_patch)
+            gts.append(np.transpose(gt, (2, 0, 1)))      # (C,4H,4W)
         else:
             lr, gt = dataset.sample_train(rng, cfg.data.lr_patch)
+            gts.append(np.transpose(gt, (2, 0, 1)))
         lrs.append(np.transpose(lr, (0, 3, 1, 2)))       # (T,C,H,W)
-        gts.append(np.transpose(gt, (2, 0, 1)))          # (C,4H,4W)
     return np.stack(lrs), np.stack(gts)
 
 
