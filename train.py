@@ -200,11 +200,14 @@ def main(argv=None):
         import jax.numpy as jnp
 
         fwd = jax.jit(lambda p, v: model.apply(p, v))
+        sequence_out = cfg.model.name in ("ftvsr", "ttvsr")
         psnrs = []
         for i, window, gt in ds.iter_test_windows(ds.sequences[0]):
             x = jnp.asarray(np.transpose(
                 window.astype(np.float32) / 255.0, (0, 3, 1, 2))[None])
             sr = np.asarray(fwd(state.params, x))[0]
+            if sequence_out:  # recurrent models return the whole window
+                sr = sr[sr.shape[0] // 2]
             sr255 = np.clip(np.transpose(sr, (1, 2, 0)) * 255, 0, 255)
             psnrs.append(calculate_psnr(sr255, gt.astype(np.float32)))
             if i >= 7:
