@@ -19,10 +19,11 @@ __all__ = ["ExperimentConfig", "preset", "PRESET_NAMES"]
 
 @dataclass
 class ModelConfig:
-    name: str = "fcvsr"          # fcvsr | fcvsr_s
+    name: str = "fcvsr"          # fcvsr | fcvsr_s | ftvsr | ttvsr
     n_feats: int = 64
     in_channels: int = 3          # 1 = Y (CVCP), 3 = RGB (REDS/Vimeo)
     num_frames: int = 7
+    num_blocks: int = 0           # recurrent trunk depth (0 = model default)
 
 
 @dataclass

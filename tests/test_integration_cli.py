@@ -76,3 +76,46 @@ def test_config_presets_roundtrip():
     reds = preset("fcvsr_redsLD_QP37")
     assert reds.model.in_channels == 3
     assert reds.train.schedule == "cosine_restart"
+
+
+@pytest.mark.slow
+def test_ftvsr_preset_trains_one_iter(tmp_path):
+    """The FTVSR presets must actually train (sequence-GT path): tiny model
+    via --config override, two optimizer iterations through the CLI.
+    Needs >=64px frames (SpyNet pyramid)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    lr_root = str(tmp_path / "lr")
+    gt_root = str(tmp_path / "gt")
+    for seq in ["seq_0"]:
+        os.makedirs(os.path.join(lr_root, seq))
+        os.makedirs(os.path.join(gt_root, seq))
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(
+                os.path.join(lr_root, seq, f"{i:08d}.png"))
+            Image.fromarray(rng.integers(0, 255, (256, 256, 3),
+                                         np.uint8)).save(
+                os.path.join(gt_root, seq, f"{i:08d}.png"))
+
+    from fcvsr_tpu.utils.config import preset
+
+    cfg = preset("ftvsr_cvcpLD_QP37")
+    cfg.model.n_feats = 8
+    cfg.model.num_blocks = 2
+    cfg.model.num_frames = 5
+    cfg.data.batch_size = 8
+    cfg.data.lr_patch = 64
+    cfg.train.total_iters = 2
+    cfg.train.log_interval = 1
+    cfg_path = tmp_path / "ftvsr_tiny.json"
+    cfg_path.write_text(cfg.to_json())
+
+    import train as train_cli
+
+    train_cli.main([
+        "--config", str(cfg_path),
+        "--lr-root", lr_root, "--gt-root", gt_root,
+        "--work-dir", str(tmp_path / "work"),
+    ])
+    assert os.path.isdir(os.path.join(tmp_path, "work", cfg.name, "ckpt"))

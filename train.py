@@ -33,11 +33,17 @@ def build_model(cfg):
     if cfg.model.name == "ftvsr":
         from fcvsr_tpu.models.ftvsr import FTVSRNet
 
-        return FTVSRNet(mid_channels=cfg.model.n_feats)
+        kw = {"mid_channels": cfg.model.n_feats}
+        if cfg.model.num_blocks:
+            kw["num_blocks"] = cfg.model.num_blocks
+        return FTVSRNet(**kw)
     if cfg.model.name == "ttvsr":
         from fcvsr_tpu.models.ftvsr import TTVSRNet
 
-        return TTVSRNet(mid_channels=cfg.model.n_feats)
+        kw = {"mid_channels": cfg.model.n_feats}
+        if cfg.model.num_blocks:
+            kw["num_blocks"] = cfg.model.num_blocks
+        return TTVSRNet(**kw)
     raise ValueError(f"unknown model {cfg.model.name}")
 
 
