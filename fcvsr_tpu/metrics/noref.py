@@ -19,7 +19,7 @@ brisque.py; mmedit core/evaluation/metrics.py:398-590):
 
 Both depend on MATLAB-convention ``imresize`` (antialiased cubic a=-0.5,
 symmetric boundary), implemented here exactly.
-NRQM/PI (metric/nrqm.py — a 3-stage random-forest ensemble) is not rebuilt.
+NRQM/PI (reference metric/nrqm.py) lives in ``fcvsr_tpu/metrics/nrqm.py``.
 """
 
 from __future__ import annotations

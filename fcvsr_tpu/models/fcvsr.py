@@ -52,6 +52,13 @@ class MGAA(nn.Module):
     corr_radius: int = 4
     kernel1_both: bool = True  # reference SAC bug (CVSR_freq.py:1272-1273)
     warp_impl: str = "gather"  # 'stencil' = fast tiled warp (ops/warp.py)
+    # Batch the per-direction ConvBlk calls (f/b) along the batch axis.
+    # CPU-exact, but that axis is the data-sharded one (concat/split forces
+    # resharding collectives on a mesh) and the round-2 full-shape run
+    # returned non-finite outputs on the old TPU runtime — so this is
+    # opt-in for single-device inference, gated by an isfinite probe
+    # (bench.py) with automatic fallback.
+    batch_fb: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -103,14 +110,22 @@ class MGAA(nn.Module):
         # All 2*ac_num gated spectra go through ONE batched irfft: each is
         # only 4 channels, and a 4-lane DFT matmul uses ~3% of the MXU —
         # packing them restores utilisation (identical per-channel math).
-        # (per-direction ConvBlk calls: batching f/b along the batch axis
-        # measured neutral and that axis is the data-sharded one — see the
-        # MGAA batching note above)
+        # (per-direction ConvBlk calls: ``batch_fb`` runs f/b as one batch —
+        # identical per-channel math, half the small-op dispatches — see the
+        # batch_fb note above for why it is opt-in)
         gated = []
-        for i in range(self.ac_num):
-            blk = ConvBlk(4, index=i, name=f"mconv{i}")
-            gated.append(blk(off_f) * x2_f_sim)
-            gated.append(blk(off_b) * x2_f_sim)
+        if self.batch_fb:
+            off_fb = jnp.concatenate([off_f, off_b], axis=0)
+            sim_fb = jnp.concatenate([x2_f_sim, x2_f_sim], axis=0)
+            for i in range(self.ac_num):
+                g = ConvBlk(4, index=i, name=f"mconv{i}")(off_fb) * sim_fb
+                gated.append(g[:b])
+                gated.append(g[b:])
+        else:
+            for i in range(self.ac_num):
+                blk = ConvBlk(4, index=i, name=f"mconv{i}")
+                gated.append(blk(off_f) * x2_f_sim)
+                gated.append(blk(off_b) * x2_f_sim)
         packed = jnp.concatenate(
             [g[..., :2] for g in gated] + [g[..., 2:] for g in gated], -1)
         fields = irfft_features(packed, h, w)  # (B, H, W, 2*ac_num*2)
@@ -201,6 +216,12 @@ class FCVSRNet(nn.Module):
     num_frames: int = 7
     use_remat: bool = False  # rematerialize MGAA/SCNet (trade FLOPs for HBM)
     warp_impl: str = "gather"  # 'stencil' = fast tiled IAC warp (ops/warp.py)
+    # Batch the two independent shared-weight MGAA calls (and MGAA's f/b
+    # ConvBlks) along the batch axis.  CPU-exact; opt-in because the batch
+    # axis is the data-sharded one under DP training and the old TPU
+    # runtime returned non-finite outputs at full shape (round 2) —
+    # bench.py probes isfinite on-device and falls back automatically.
+    batch_mgaa: bool = False
 
     @classmethod
     def small(cls, in_channels: int = 1, **kw):
@@ -218,21 +239,25 @@ class FCVSRNet(nn.Module):
         lrelu = PReLU(name="lrelu")  # single shared slope, as in reference
         mgaa_cls = nn.remat(MGAA) if self.use_remat else MGAA
         mgaa = mgaa_cls(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num,
-                        warp_impl=self.warp_impl, name="MGAA")
+                        warp_impl=self.warp_impl, batch_fb=self.batch_mgaa,
+                        name="MGAA")
 
         feat = Conv2d(t * nf, 3, name="feat_extract")(feats)
         f1 = feat[..., : 3 * nf]
         f2 = feat[..., 3 * nf : 4 * nf]
         f3 = feat[..., 4 * nf :]
 
-        # NOTE: MGAA(f1)/MGAA(f3) share weights and could be batched into one
-        # call along the batch axis, but that axis is the data-parallel
-        # sharded axis — the concat/split forces resharding collectives on a
-        # mesh and perturbs grad reduction order (breaks the pinned
-        # sharded==single-device train-step equivalence).  Keep them
-        # sequential.
-        g1 = mgaa(f1)
-        g3 = mgaa(f3)
+        # MGAA(f1)/MGAA(f3) share weights and are independent.  Batching
+        # them along the batch axis is exact but that axis is the
+        # data-parallel sharded one (resharding collectives on a mesh,
+        # perturbed grad reduction order) — so it is opt-in via
+        # ``batch_mgaa`` for single-device inference (see flag note).
+        if self.batch_mgaa:
+            g13 = mgaa(jnp.concatenate([f1, f3], axis=0))
+            g1, g3 = g13[:b], g13[b:]
+        else:
+            g1 = mgaa(f1)
+            g3 = mgaa(f3)
         g2 = mgaa(jnp.concatenate([g1, f2, g3], -1))
 
         dec = MFFR(dim=nf, freq_inv=self.freq_inv, name="MFFRblock")(g2)

@@ -38,8 +38,6 @@ def psum_metrics(metrics: Dict[str, jnp.ndarray], mesh: Mesh,
                  axis: str = "data") -> Dict[str, jnp.ndarray]:
     """Mean-reduce per-shard scalar metrics across the mesh with one psum
     (the DDP-era allreduce, but expressed in SPMD)."""
-    from jax.experimental.shard_map import shard_map
-
     names = sorted(metrics)
     vals = jnp.stack([jnp.asarray(metrics[k], jnp.float32) for k in names])
 
@@ -47,8 +45,8 @@ def psum_metrics(metrics: Dict[str, jnp.ndarray], mesh: Mesh,
         return jax.lax.psum(v, axis) / mesh.shape[axis]
 
     reduced = jax.jit(
-        shard_map(reduce_fn, mesh=mesh, in_specs=P(), out_specs=P(),
-                  check_rep=False)
+        jax.shard_map(reduce_fn, mesh=mesh, in_specs=P(), out_specs=P(),
+                      check_vma=False)
     )(vals)
     return {k: reduced[i] for i, k in enumerate(names)}
 

@@ -86,3 +86,16 @@ def test_full_vs_small_hyperparams():
     assert (full.ac_num, full.freq_inv, full.sc_groups) == (6, 8, 10)
     small = FCVSRNet.small()
     assert (small.ac_num, small.freq_inv, small.sc_groups) == (3, 4, 4)
+
+
+def test_batch_mgaa_exact(small_model):
+    """``batch_mgaa=True`` (batch-axis MGAA f1/f3 + f/b ConvBlk pairing) is
+    numerically identical to the sequential path — same params, same math,
+    different dispatch grouping."""
+    model, params = small_model
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (2, 7, 1, 16, 24)), jnp.float32)
+    ref = model.apply(params, x)
+    batched = FCVSRNet.small(in_channels=1, batch_mgaa=True).apply(params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(batched),
+                               rtol=0, atol=1e-6)
