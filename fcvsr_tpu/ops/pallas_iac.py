@@ -45,8 +45,8 @@ import jax.numpy as jnp
 __all__ = ["iac_fused", "warp_sac_fused"]
 
 
-def _kernel(flow_hbm, src_hbm, k_ref, fin_ref, out_ref, *, radius, th, h, w, c,
-            pad, act, tiles):
+def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius, th,
+            h, w, c, pad_v, pad_l, bmax_x, wp, act, tiles):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -54,8 +54,7 @@ def _kernel(flow_hbm, src_hbm, k_ref, fin_ref, out_ref, *, radius, th, h, w, c,
     r = radius
     wh = th + 2                       # warped rows incl. SAC halo
     wrows = wh + 2 * r + 1            # source window rows
-    wcols = w + 2 * r + 1             # source window cols
-    bmax = pad - r - 1                # max |base| the padded source covers
+    bmax_y = pad_v - r - 1            # max |base_y| the padded source covers
 
     bi = pl.program_id(0)
     ti = pl.program_id(1)
@@ -63,25 +62,31 @@ def _kernel(flow_hbm, src_hbm, k_ref, fin_ref, out_ref, *, radius, th, h, w, c,
     fr0 = jnp.clip(t0 - 1, 0, h - wh)  # first warped (absolute) row
     m0 = t0 - fr0                      # tile row offset inside warped rows
 
-    def body(win, flw, sem_w, sem_f):
-        # ---- fetch flow rows [fr0, fr0+wh) ----
-        cp = pltpu.make_async_copy(
-            flow_hbm.at[bi, pl.ds(fr0, wh)], flw, sem_f)
-        cp.start()
-        cp.wait()
-        fx = flw[:, :, 0]
-        fy = flw[:, :, 1]
+    def body(win, sem_w):
+        # ---- flow rows [fr0, fr0+wh): pre-tiled halo blocks ----
+        # Mosaic requires tile-aligned slices on the tiled dims of a ref,
+        # so the overlapping halo rows are assembled OUTSIDE the kernel
+        # (flow is (H, W, 2) — tiny) and pipelined in as ordinary
+        # (1, 1, wh, w) blocks, one per (batch, tile).
+        fx = fxt_ref[0, 0]
+        fy = fyt_ref[0, 0]
 
         # ---- per-tile base offsets ----
-        base_y = jnp.clip(jnp.round(jnp.mean(fy)), -bmax, bmax).astype(jnp.int32)
-        base_x = jnp.clip(jnp.round(jnp.mean(fx)), -bmax, bmax).astype(jnp.int32)
+        base_y = jnp.clip(jnp.round(jnp.mean(fy)), -bmax_y,
+                          bmax_y).astype(jnp.int32)
+        base_x = jnp.clip(jnp.round(jnp.mean(fx)), -bmax_x,
+                          bmax_x).astype(jnp.int32)
 
-        # ---- window DMA: rows [fr0+base_y-r, +wrows), cols [base_x-r, +wcols)
-        row0 = fr0 + base_y - r + pad
-        col0 = base_x - r + pad
-        cp = pltpu.make_async_copy(
-            src_hbm.at[bi, pl.ds(row0, wrows), pl.ds(col0, wcols)],
-            win, sem_w)
+        # ---- window DMA: FULL-width rows [fr0+base_y-r, +wrows) ----
+        # The source is pre-transposed to (B, Hp, C, Wp): the sliced row dim
+        # sits outside the tiled (sublane=C, lane=Wp) pair, so a dynamic
+        # offset is legal, and the untouched dims satisfy Mosaic's
+        # alignment check by construction (C % 8 == 0, Wp % 128 == 0).
+        # The horizontal base shift is applied in-VMEM with a dynamic lane
+        # rotate below instead of a (misaligned) column slice.
+        row0 = fr0 + base_y - r + pad_v
+        cp = pltpu.make_async_copy(src_hbm.at[bi, pl.ds(row0, wrows)],
+                                   win, sem_w)
         cp.start()
 
         # ---- stencil weights (independent of the window) ----
@@ -96,8 +101,16 @@ def _kernel(flow_hbm, src_hbm, k_ref, fin_ref, out_ref, *, radius, th, h, w, c,
 
         cp.wait()
 
+        # ---- align window columns: rotate lanes so col (base_x - r + pad_l)
+        # lands on lane 0; taps then use static slices.  No wraparound reads:
+        # max used lane = (w-1) + (nx-1) + col0_max < wp by padding choice.
+        col0 = base_x - r + pad_l
+        rolled = pltpu.roll(win[...], wp - col0, axis=2)
+
         # ---- separable bilinear stencil: (2r+2)^2 static shifted fmas ----
-        warped = jnp.zeros((wh, w, c), jnp.float32)
+        # accumulated in the source's (rows, C, W) layout, transposed once
+        # for the SAC passes.
+        warped_t = jnp.zeros((wh, c, w), jnp.float32)
         wy = []
         wx = []
         for e in range(nx):
@@ -108,7 +121,9 @@ def _kernel(flow_hbm, src_hbm, k_ref, fin_ref, out_ref, *, radius, th, h, w, c,
         for e in range(nx):
             for f in range(nx):
                 wgt = wy[e] * wx[f]
-                warped = warped + wgt[..., None] * win[e : e + wh, f : f + w]
+                warped_t = warped_t + wgt[:, None, :] * \
+                    rolled[e : e + wh, :, f : f + w]
+        warped = jnp.swapaxes(warped_t, 1, 2)  # (wh, w, c)
 
         # ---- SAC (kernel1 both passes), replicate borders ----
         wpad = jnp.concatenate([warped[0:1], warped, warped[wh - 1 : wh]], 0)
@@ -137,9 +152,7 @@ def _kernel(flow_hbm, src_hbm, k_ref, fin_ref, out_ref, *, radius, th, h, w, c,
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((wrows, wcols, c), jnp.float32),
-        pltpu.VMEM((wh, w, 2), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((wrows, c, wp), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -157,22 +170,50 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
     (activation skipped when ``act`` is False).
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = feat.shape
     if h % tile_rows:
         raise ValueError(f"H={h} not divisible by tile_rows={tile_rows}")
-    pad = radius + 14  # covers |tile-mean flow| up to 13px
-    src = jnp.pad(feat, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    if c % 8:
+        raise ValueError(f"C={c} must be a multiple of 8 (sublane tiling)")
+    pad_v = radius + 14  # covers |tile-mean vertical flow| up to 13px
+    # Horizontal: the window DMA moves full-width rows (a column slice of an
+    # HBM ref cannot be lane-aligned for arbitrary bases), so Wp must be a
+    # lane multiple; spare width becomes extra horizontal base coverage.
+    wp = ((w + 2 * (radius + 14) + 127) // 128) * 128
+    extra = wp - w - 2 * (radius + 14)
+    pad_l = radius + 14 + extra // 2
+    pad_r = wp - w - pad_l
+    bmax_x = min(pad_l, pad_r) - radius - 1
+    # (B, Hp, C, Wp): row dim outside the tiled pair -> dynamic row DMAs.
+    src = jnp.transpose(
+        jnp.pad(feat, ((0, 0), (pad_v, pad_v), (pad_l, pad_r), (0, 0))),
+        (0, 1, 3, 2))
     tiles = h // tile_rows
+    wh = tile_rows + 2
+
+    # Pre-tiled flow halos: rows [fr0, fr0+wh) per tile, as plain blocks —
+    # overlapping halo reads cannot be expressed as (aligned) in-kernel
+    # slices, and flow is tiny so the XLA-side gather is free.
+    fr0 = jnp.clip(jnp.arange(tiles) * tile_rows - 1, 0, h - wh)
+    rows = fr0[:, None] + jnp.arange(wh)[None, :]          # (tiles, wh)
+    flow_t = flow[:, rows]                                 # (B, tiles, wh, W, 2)
+    fxt, fyt = flow_t[..., 0], flow_t[..., 1]
 
     kern = functools.partial(_kernel, radius=radius, th=tile_rows, h=h, w=w,
-                             c=c, pad=pad, act=act, tiles=tiles)
+                             c=c, pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x,
+                             wp=wp, act=act, tiles=tiles)
     return pl.pallas_call(
         kern,
         grid=(b, tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # flow (manual DMA, halo)
-            pl.BlockSpec(memory_space=pl.ANY),  # padded source (manual DMA)
+            pl.BlockSpec((1, 1, wh, w), lambda bi, ti: (bi, ti, 0, 0)),  # fx
+            pl.BlockSpec((1, 1, wh, w), lambda bi, ti: (bi, ti, 0, 0)),  # fy
+            # padded source stays in HBM for the manual window DMA (an ANY
+            # input small enough to be VMEM-promoted makes the dynamic
+            # slices illegal — VMEM slices must be tile-aligned).
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, tile_rows, w, 3 * c),
                          lambda bi, ti: (bi, ti, 0, 0)),
             pl.BlockSpec((1, tile_rows, w, c), lambda bi, ti: (bi, ti, 0, 0)),
@@ -180,8 +221,11 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
         out_specs=pl.BlockSpec((1, tile_rows, w, c),
                                lambda bi, ti: (bi, ti, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        # the 36-tap stencil's temporaries push past the 16M default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flow, src, k1_tap_major, feat_in)
+    )(fxt, fyt, src, k1_tap_major, feat_in)
 
 
 def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,

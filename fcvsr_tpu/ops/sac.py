@@ -91,13 +91,23 @@ def iac(
     channels) — valid when ``kernel1_both`` since kernel2 is never applied
     (the reference bug); the caller then skips computing kernel2 entirely.
 
-    ``warp_impl``: 'gather' (bit-exact reference semantics) or 'stencil'
-    (``flow_warp_stencil`` — tiled static stencil, much faster on TPU,
-    exact while per-pixel flow stays within ``radius`` of its tile mean;
-    see ops/warp.py for the contract).
+    ``warp_impl``: 'gather' (bit-exact reference semantics), 'stencil'
+    (``flow_warp_stencil`` — tiled static stencil in XLA), or 'pallas'
+    (``pallas_iac.iac_fused`` — the whole warp+SAC+residual+lrelu iteration
+    as one fused VMEM kernel; same per-tile-bounded-deviation exactness
+    contract as 'stencil', see ops/pallas_iac.py).
     """
     if k1_only:
         assert kernel1_both, "k1_only pred_k requires the kernel1-both path"
+    if warp_impl == "pallas":
+        b, h, w, _ = feat_in.shape
+        if kernel1_both and k1_only and k_tap_major and h % 8 == 0 \
+                and channels % 8 == 0 and ksize == 3:
+            from .pallas_iac import iac_fused
+            return iac_fused(feat_in, pred_k, offsets, ac_num, channels,
+                             act_last=act_last,
+                             interpret=jax.default_backend() == "cpu")
+        warp_impl = "gather"  # unsupported configuration: exact fallback
     from .warp import flow_warp_stencil
 
     warp = flow_warp if warp_impl == "gather" else flow_warp_stencil

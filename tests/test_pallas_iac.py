@@ -85,3 +85,16 @@ def test_warp_sac_fused_batch2():
     got = warp_sac_fused(feat, flow, _tap_major(k1, c), fin, radius=2,
                          tile_rows=8, act=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_model_level_pallas_iac_matches_gather():
+    """FCVSR-S with warp_impl='pallas' (fused IAC) tracks the exact gather
+    model closely at init-scale flows (interpret mode on CPU)."""
+    from fcvsr_tpu.models import FCVSRNet
+
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 7, 1, 16, 24)), jnp.float32)
+    ref_model = FCVSRNet.small(in_channels=1)
+    params = ref_model.init(jax.random.PRNGKey(0), x)
+    ref = ref_model.apply(params, x)
+    got = FCVSRNet.small(in_channels=1, warp_impl="pallas").apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
