@@ -5,14 +5,29 @@ sliding 7-frame windows, one SR frame per forward, steady-state wall clock at
 the reference benchmark shapes (Kimono1 480x272 headline).  Prints ONE JSON
 line.
 
+Ladder (safest first; each config runs in its own subprocess with a hard
+timeout so a hang or failure on a bigger config cannot take down numbers
+already banked):
+- fcvsr_s_fps_320x184 / fcvsr_full_fps_480x272 — harness-parity batch-1
+  per-frame mode on the bit-exact gather path (headline metric, comparable
+  to rounds 1-2).
+- fcvsr_full_pallas_fps_480x272 — same harness mode on the fused Pallas
+  IAC path (ops/pallas_iac.py; per-tile bounded-deviation contract) with
+  batch-axis MGAA batching, gated on an on-device isfinite probe with
+  automatic fallback to the sequential exact path.
+- fcvsr_full_throughput_480x272 — deployment mode: B=4 sliding windows per
+  dispatch (a TPU deployment would never serve batch-1); per-window math
+  identical to the per-frame path.
+- fcvsr_s_train_step_ms — one optimizer step (batch 2, 64px patches), the
+  round-2 CLAUDE.md measurement promoted to a tracked metric.
+
 Environment notes (see CLAUDE.md): the axon TPU tunnel is a single-client
 service where a failing program can wedge the backend for a long time, and
-``block_until_ready`` is not a sync point.  So each config runs in its own
-*subprocess* with a hard timeout, safest config first — a hang or failure on
-a bigger config cannot take down the numbers already banked — and timing
-loops on-device (lax.fori_loop) with a host fetch as the sync point.
-``vs_baseline`` compares against bench_baseline.json when present (the
-reference repo publishes no FPS number, BASELINE.md).
+``block_until_ready`` is not a sync point — timing loops on-device
+(lax.fori_loop) with a host fetch as the sync point.  ``vs_baseline``
+compares the headline metric against bench_baseline.json when present (the
+reference repo publishes no FPS number, BASELINE.md).  TPU_PROBE.json
+(tools/tpu_probe.py) is folded into the output when present.
 """
 
 import json
@@ -20,21 +35,26 @@ import os
 import subprocess
 import sys
 
-# (metric name, model, h, w, subprocess timeout s) — safest first; the LAST
-# success is reported.  Shapes follow the reference FPS sequences (Johnny
-# 320x184, Kimono1 480x272).  Round-1 measured: fcvsr_s 14.0 fps @320x184,
-# fcvsr full 2.73 fps @480x272 (compile ~4-6 min each through the tunnel,
-# hence the generous timeouts).
+# (metric, kind, model, h, w, batch, subprocess timeout s).
+# kind: fps = per-frame harness mode; tput = batched-window throughput;
+# train = train-step ms.  The LAST fps success on the exact path is the
+# headline.  Compiles through the tunnel take 4-6 min per program, hence
+# the generous timeouts.
 ATTEMPTS = [
-    ("fcvsr_s_fps_320x184", "fcvsr_s", 184, 320, 1800),
-    ("fcvsr_full_fps_480x272", "fcvsr", 272, 480, 2700),
+    ("fcvsr_s_fps_320x184", "fps", "fcvsr_s", 184, 320, 1, 1800),
+    ("fcvsr_full_fps_480x272", "fps", "fcvsr", 272, 480, 1, 2700),
+    ("fcvsr_full_pallas_fps_480x272", "fps", "fcvsr_pallas", 272, 480, 1, 2700),
+    ("fcvsr_full_throughput_480x272", "tput", "fcvsr_pallas", 272, 480, 4, 2700),
+    ("fcvsr_s_train_step_ms", "train", "fcvsr_s", 64, 64, 2, 1800),
 ]
+HEADLINE = "fcvsr_full_fps_480x272"
 
 _WORKER = r"""
 import functools, json, sys, time
 import numpy as np
 
-model_name, h, w = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+kind, model_name, h, w, batch = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
+                                 int(sys.argv[4]), int(sys.argv[5]))
 
 import jax
 import jax.numpy as jnp
@@ -42,21 +62,62 @@ sys.path.insert(0, {repo!r})
 from fcvsr_tpu.models import EDVRNet, FCVSRNet
 
 rng = np.random.default_rng(0)
-if model_name == "fcvsr":
-    model = FCVSRNet(in_channels=1)
-    x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, h, w)), jnp.float32)
-elif model_name == "fcvsr_stencil":
-    # fast tiled-warp IAC (ops/warp.py flow_warp_stencil; exact for
-    # per-tile flow deviations <= 3 px — model-level dev 1e-7 on random)
-    model = FCVSRNet(in_channels=1, warp_impl="stencil")
-    x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, h, w)), jnp.float32)
-elif model_name == "fcvsr_s":
-    model = FCVSRNet.small(in_channels=1)
-    x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, h, w)), jnp.float32)
-else:
-    model = EDVRNet(in_channels=3, out_channels=3, num_frames=5)
-    x = jnp.asarray(rng.uniform(0, 1, (1, 5, 3, h, w)), jnp.float32)
+
+def make(name, **kw):
+    if name == "fcvsr":
+        return FCVSRNet(in_channels=1, **kw)
+    if name == "fcvsr_pallas":
+        # fused Pallas IAC (bounded-deviation contract, ops/pallas_iac.py)
+        # + batch-axis MGAA batching (CPU-exact; finite-probed below)
+        return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
+                        **kw)
+    if name == "fcvsr_s":
+        return FCVSRNet.small(in_channels=1, **kw)
+    return EDVRNet(in_channels=3, out_channels=3, num_frames=5)
+
+model = make(model_name)
+x = jnp.asarray(rng.uniform(0, 1, (batch, 7, 1, h, w)), jnp.float32)
+
+if kind == "train":
+    from fcvsr_tpu.train import cosine_restart, create_train_state, \
+        make_train_step
+    gt = jnp.asarray(rng.uniform(0, 1, (batch, 1, 4 * h, 4 * w)), jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), x, cosine_restart(2e-4, [600000], [1.0]))
+    step = make_train_step(model, "charbonnier_mean", donate=False)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run_n(s0, n):
+        def body(i, s):
+            s2, _ = step(s, x * (1.0 + 1e-6 * i), gt)
+            return s2
+        leaves = jax.tree.leaves(jax.lax.fori_loop(0, n, body, s0).params)
+        return leaves[0].ravel()[0]
+
+    N = 20
+    v = np.asarray(run_n(state, 1)); assert np.isfinite(v)
+    np.asarray(run_n(state, N))
+    def timed(n):
+        t0 = time.perf_counter()
+        v = np.asarray(run_n(state, n))
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
+    base = min(timed(1) for _ in range(2))
+    total = min(timed(N) for _ in range(2))
+    print("MS_RESULT", (total - base) / (N - 1) * 1e3)
+    sys.exit(0)
+
 params = model.init(jax.random.PRNGKey(0), x)
+
+if model_name == "fcvsr_pallas":
+    # on-device finite probe: the old TPU runtime returned non-finite
+    # outputs from the batched MGAA variant (round 2) — fall back to the
+    # sequential exact-warp model if that ever recurs.
+    probe = np.asarray(jnp.mean(model.apply(params, x)))
+    if not np.isfinite(probe):
+        print("PROBE_FALLBACK nonfinite", file=sys.stderr)
+        model = make("fcvsr")
+        params = model.init(jax.random.PRNGKey(0), x)
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def run_n(p, v, n):
@@ -75,7 +136,7 @@ N = 20
 timed(1); timed(N)
 base = min(timed(1) for _ in range(2))
 total = min(timed(N) for _ in range(2))
-print("FPS_RESULT", (N - 1) / (total - base))
+print("FPS_RESULT", batch * (N - 1) / (total - base))
 """
 
 
@@ -84,16 +145,18 @@ def main():
     worker = _WORKER.format(repo=repo)
     fps, metric, err = 0.0, ATTEMPTS[0][0], None
     ladder = {}
-    for name, model_name, h, w, tmo in ATTEMPTS:
+    for name, kind, model_name, h, w, batch, tmo in ATTEMPTS:
         try:
             proc = subprocess.run(
-                [sys.executable, "-c", worker, model_name, str(h), str(w)],
+                [sys.executable, "-c", worker, kind, model_name, str(h),
+                 str(w), str(batch)],
                 capture_output=True, text=True, timeout=tmo, cwd=repo)
             for line in proc.stdout.splitlines():
-                if line.startswith("FPS_RESULT"):
-                    fps = float(line.split()[1])
-                    metric = name
-                    ladder[name] = round(fps, 3)
+                if line.startswith(("FPS_RESULT", "MS_RESULT")):
+                    val = float(line.split()[1])
+                    ladder[name] = round(val, 3)
+                    if kind == "fps" and model_name in ("fcvsr", "fcvsr_s"):
+                        fps, metric = val, name
                     break
             else:
                 err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
@@ -119,8 +182,16 @@ def main():
         "vs_baseline": round(vs, 3),
         "all": ladder,  # every ladder entry that completed this run
     }
+    probe_path = os.path.join(repo, "TPU_PROBE.json")
+    if os.path.exists(probe_path):
+        try:
+            out["tpu_probe"] = json.load(open(probe_path))
+        except Exception:
+            pass
     if err and fps == 0.0:
         out["error"] = err
+    elif err:
+        out["ladder_error"] = err
     print(json.dumps(out))
 
 
