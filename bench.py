@@ -44,7 +44,12 @@ ATTEMPTS = [
     ("fcvsr_s_fps_320x184", "fps", "fcvsr_s", 184, 320, 1, 1800),
     ("fcvsr_full_fps_480x272", "fps", "fcvsr", 272, 480, 1, 2700),
     ("fcvsr_full_pallas_fps_480x272", "fps", "fcvsr_pallas", 272, 480, 1, 2700),
-    ("fcvsr_full_throughput_480x272", "tput", "fcvsr_pallas", 272, 480, 4, 2700),
+    # batched sliding windows: measured round 3 B=1 3.91 / B=2 3.65 / B=4
+    # 3.31 fps — the model is bandwidth-bound at this spatial size, so the
+    # chip is already saturated at batch 1 and window batching LOSES; the
+    # entry stays to prove that (and to catch a future dispatch-bound
+    # regime where batching would start to win).
+    ("fcvsr_full_throughput_480x272", "tput", "fcvsr_pallas", 272, 480, 2, 2700),
     ("fcvsr_s_train_step_ms", "train", "fcvsr_s", 64, 64, 2, 1800),
 ]
 HEADLINE = "fcvsr_full_fps_480x272"

@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
 
     from fcvsr_tpu.ops.sac import sac
-    from fcvsr_tpu.ops.warp import flow_warp, flow_warp_stencil
+    from fcvsr_tpu.ops.warp import flow_warp  # stencil variant deleted r3
 
     h, w, c = 272, 480, 64
     rng = np.random.default_rng(0)
@@ -49,9 +49,6 @@ def main():
         return f
 
     bench = {
-        "warp_stencil_r3": (lambda v: flow_warp_stencil(v, flow, 3, 16), x),
-        "warp_stencil_r2": (lambda v: flow_warp_stencil(v, flow, 2, 16), x),
-        "iter_stencil": (iter_(lambda v, fl: flow_warp_stencil(v, fl, 3, 16)), x),
         "warp_gather": (lambda v: flow_warp(v, flow), x),
     }
 

@@ -561,3 +561,93 @@ class DegradationsWithShuffle:
             else:
                 results = d(results)
         return results
+
+
+def realbasicvsr_degradation_chain(keys=("lq",), include_video_compression=False):
+    """The RealBasicVSR second-order training degradation (its published
+    recipe over random_degradations.py:20-556): blur -> resize -> noise ->
+    jpeg, then a lighter second pass, then a shuffled [jpeg, video
+    compression] group.  ``include_video_compression`` is off by default —
+    it needs PyAV, absent from this image (RandomVideoCompression raises).
+    """
+    first = [
+        {"type": "RandomBlur", "params": {
+            "kernel_size": [7, 9, 11, 13, 15, 17, 19, 21],
+            "kernel_list": ["iso", "aniso", "generalized_iso",
+                            "generalized_aniso", "plateau_iso",
+                            "plateau_aniso", "sinc"],
+            "kernel_prob": [0.405, 0.225, 0.108, 0.027, 0.108, 0.027, 0.1],
+            "sigma_x": [0.2, 3], "sigma_y": [0.2, 3],
+            "rotate_angle": [-3.1416, 3.1416],
+            "beta_gaussian": [0.5, 4], "beta_plateau": [1, 2],
+            "sigma_x_step": 0.02, "sigma_y_step": 0.02,
+            "rotate_angle_step": 0.31416, "beta_gaussian_step": 0.05,
+            "beta_plateau_step": 0.1, "omega_step": 0.0628}},
+        {"type": "RandomResize", "params": {
+            "resize_mode_prob": [0.2, 0.7, 0.1],  # up, down, keep
+            "resize_scale": [0.15, 1.5],
+            "resize_opt": ["bilinear", "area", "bicubic"],
+            "resize_prob": [1 / 3.0, 1 / 3.0, 1 / 3.0],
+            "resize_step": 0.015, "is_size_even": True}},
+        {"type": "RandomNoise", "params": {
+            "noise_type": ["gaussian", "poisson"],
+            "noise_prob": [0.5, 0.5],
+            "gaussian_sigma": [1, 30], "gaussian_gray_noise_prob": 0.4,
+            "poisson_scale": [0.05, 3], "poisson_gray_noise_prob": 0.4,
+            "gaussian_sigma_step": 0.1, "poisson_scale_step": 0.005}},
+        {"type": "RandomJPEGCompression", "params": {
+            "quality": [30, 95], "quality_step": 3}},
+    ]
+    second = [
+        {"type": "RandomBlur", "params": {
+            "prob": 0.8,
+            "kernel_size": [7, 9, 11, 13, 15, 17, 19, 21],
+            "kernel_list": ["iso", "aniso", "generalized_iso",
+                            "generalized_aniso", "plateau_iso",
+                            "plateau_aniso", "sinc"],
+            "kernel_prob": [0.405, 0.225, 0.108, 0.027, 0.108, 0.027, 0.1],
+            "sigma_x": [0.2, 1.5], "sigma_y": [0.2, 1.5],
+            "rotate_angle": [-3.1416, 3.1416],
+            "beta_gaussian": [0.5, 4], "beta_plateau": [1, 2],
+            "sigma_x_step": 0.005, "sigma_y_step": 0.005,
+            "rotate_angle_step": 0.31416, "beta_gaussian_step": 0.02,
+            "beta_plateau_step": 0.05, "omega_step": 0.0628}},
+        {"type": "RandomResize", "params": {
+            "resize_mode_prob": [0.3, 0.4, 0.3],
+            "resize_scale": [0.3, 1.2],
+            "resize_opt": ["bilinear", "area", "bicubic"],
+            "resize_prob": [1 / 3.0, 1 / 3.0, 1 / 3.0],
+            "resize_step": 0.03, "is_size_even": True}},
+        {"type": "RandomNoise", "params": {
+            "noise_type": ["gaussian", "poisson"],
+            "noise_prob": [0.5, 0.5],
+            "gaussian_sigma": [1, 25], "gaussian_gray_noise_prob": 0.4,
+            "poisson_scale": [0.05, 2.5], "poisson_gray_noise_prob": 0.4,
+            "gaussian_sigma_step": 0.1, "poisson_scale_step": 0.005}},
+    ]
+    tail = [{"type": "RandomJPEGCompression",
+             "params": {"quality": [30, 95], "quality_step": 3}}]
+    if include_video_compression:
+        tail.append({"type": "RandomVideoCompression", "params": {
+            "codec": ["libx264", "h264", "mpeg4"],
+            "codec_prob": [1 / 3.0, 1 / 3.0, 1 / 3.0],
+            "bitrate": [1e4, 1e5]}})
+    chain = first + second + [tail]
+    shuffle_idx = [len(chain) - 1] if include_video_compression else []
+    return DegradationsWithShuffle(chain, list(keys), shuffle_idx)
+
+
+def degrade_sequence(chain, gt_frames: np.ndarray,
+                     scale: int = 4) -> np.ndarray:
+    """Apply a degradation chain to a GT sequence and return LQ frames at
+    1/scale resolution (the RealBasicVSR data path: degraded, then resized
+    to the LQ grid).  gt_frames: (T, H, W, C) float32 in [0, 1]."""
+    t, h, w, c = gt_frames.shape
+    results = {"lq": [gt_frames[i] for i in range(t)]}
+    results = chain(results)
+    out = []
+    for img in results["lq"]:
+        img = resize_image(np.clip(img, 0, 1), (h // scale, w // scale),
+                           "bicubic")
+        out.append(np.clip(img, 0, 1).astype(np.float32))
+    return np.stack(out)

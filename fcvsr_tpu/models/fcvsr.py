@@ -51,7 +51,7 @@ class MGAA(nn.Module):
     ac_num: int = 6
     corr_radius: int = 4
     kernel1_both: bool = True  # reference SAC bug (CVSR_freq.py:1272-1273)
-    warp_impl: str = "gather"  # 'stencil' = fast tiled warp (ops/warp.py)
+    warp_impl: str = "gather"  # 'pallas' = fused IAC kernel (ops/pallas_iac.py)
     # Batch the per-direction ConvBlk calls (f/b) along the batch axis.
     # CPU-exact, but that axis is the data-sharded one (concat/split forces
     # resharding collectives on a mesh) and the round-2 full-shape run
@@ -215,7 +215,7 @@ class FCVSRNet(nn.Module):
     up_ksize: int = 3  # FCVSR-S uses 1x1 convs in the upsampling tail
     num_frames: int = 7
     use_remat: bool = False  # rematerialize MGAA/SCNet (trade FLOPs for HBM)
-    warp_impl: str = "gather"  # 'stencil' = fast tiled IAC warp (ops/warp.py)
+    warp_impl: str = "gather"  # 'pallas' = fused IAC kernel (ops/pallas_iac.py)
     # Batch the two independent shared-weight MGAA calls (and MGAA's f/b
     # ConvBlks) along the batch axis.  CPU-exact; opt-in because the batch
     # axis is the data-sharded one under DP training and the old TPU

@@ -46,7 +46,9 @@ class GANRestorer:
     """
 
     generator_apply: Callable
-    disc_apply: Callable
+    # None => generator-only training (the wogan pre-training stage of
+    # RealBasicVSR / DIC: pixel(+cleaning/perceptual) losses, no adversary)
+    disc_apply: Optional[Callable]
     gan_type: str = "vanilla"
     gan_loss_weight: float = 5e-3
     pixel_loss_weight: float = 1e-2
@@ -103,6 +105,8 @@ class GANRestorer:
                 loss += ls
                 logs["loss_style"] = ls
 
+        if self.disc_apply is None:
+            return loss, (logs, jax.lax.stop_gradient(sr))
         fake_pred = self.disc_apply(d_params, sr)
         if self.relativistic:
             real_pred = jax.lax.stop_gradient(self.disc_apply(d_params, gt_f))
@@ -161,12 +165,14 @@ class GANRestorer:
             g_params = pick(g_params_new, g_params)
             g_opt = pick(g_opt_new, g_opt)
 
-            (d_loss, d_logs), d_grads = jax.value_and_grad(
-                self.disc_loss, has_aux=True)(d_params, sr, gt)
-            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
-            d_params = optax.apply_updates(d_params, d_updates)
+            if self.disc_apply is not None:
+                (d_loss, d_logs), d_grads = jax.value_and_grad(
+                    self.disc_loss, has_aux=True)(d_params, sr, gt)
+                d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+                d_params = optax.apply_updates(d_params, d_updates)
+                logs = dict(logs, **d_logs, loss_d=d_loss)
 
-            logs = dict(logs, **d_logs, loss_g=g_loss, loss_d=d_loss)
+            logs = dict(logs, loss_g=g_loss)
             return (g_params, d_params, g_opt, d_opt, counter + 1), logs
 
         return jax.jit(step_fn)

@@ -91,11 +91,12 @@ def iac(
     channels) — valid when ``kernel1_both`` since kernel2 is never applied
     (the reference bug); the caller then skips computing kernel2 entirely.
 
-    ``warp_impl``: 'gather' (bit-exact reference semantics), 'stencil'
-    (``flow_warp_stencil`` — tiled static stencil in XLA), or 'pallas'
+    ``warp_impl``: 'gather' (bit-exact reference semantics) or 'pallas'
     (``pallas_iac.iac_fused`` — the whole warp+SAC+residual+lrelu iteration
-    as one fused VMEM kernel; same per-tile-bounded-deviation exactness
-    contract as 'stencil', see ops/pallas_iac.py).
+    as one fused VMEM kernel with a per-tile bounded-deviation exactness
+    contract, measured 1.25ms vs 2.30ms per iteration on TPU; see
+    ops/pallas_iac.py).  The round-2 XLA 'stencil' variant was deleted
+    after losing to both (4.3ms; benchmarks/microbench6.py history).
     """
     if k1_only:
         assert kernel1_both, "k1_only pred_k requires the kernel1-both path"
@@ -108,9 +109,8 @@ def iac(
                              act_last=act_last,
                              interpret=jax.default_backend() == "cpu")
         warp_impl = "gather"  # unsupported configuration: exact fallback
-    from .warp import flow_warp_stencil
 
-    warp = flow_warp if warp_impl == "gather" else flow_warp_stencil
+    warp = flow_warp
     if k_tap_major:
         assert k1_only, "tap-major layout is only emitted on the k1 path"
     chunk = channels * ksize * (1 if k1_only else 2)

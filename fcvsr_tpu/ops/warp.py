@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["flow_warp", "flow_warp_stencil", "grid_sample_bilinear"]
+__all__ = ["flow_warp", "grid_sample_bilinear"]
 
 
 def _gather_hw(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
@@ -94,73 +94,6 @@ def grid_sample_nearest(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
     xi = jnp.round(jnp.clip(px, -1.0, w + 0.0)).astype(jnp.int32) + 1
     yi = jnp.round(jnp.clip(py, -1.0, h + 0.0)).astype(jnp.int32) + 1
     return _gather_hw(src, jnp.clip(yi, 0, h + 1), jnp.clip(xi, 0, w + 1))
-
-
-def flow_warp_stencil(x: jnp.ndarray, flow: jnp.ndarray, radius: int = 3,
-                      tile_rows: int = 16) -> jnp.ndarray:
-    """Bilinear zero-padded flow warp as a tiled static stencil (no gathers).
-
-    TPU formulation of ``flow_warp(padding_mode='zeros')``: per-pixel gathers
-    are 10x slower than VPU stencils on TPU (~105 GB/s effective,
-    benchmarks/microbench.py), so each row tile instead extracts ONE source
-    window at a dynamic per-tile base offset (``round(mean(flow))`` over the
-    tile) and accumulates (2*radius+2)^2 statically-shifted bilinear terms.
-
-    Exactness contract: identical to ``flow_warp`` wherever the per-pixel
-    flow deviates from its tile mean by <= ``radius`` px (deviations beyond
-    that clamp to the representable window).  Arbitrarily large *smooth*
-    flows stay exact — only intra-tile flow range is bounded.  Use the
-    gather path when unbounded per-pixel flows must be bit-exact.
-    """
-    b, h, w, c = x.shape
-    r = radius
-    th = tile_rows
-    if h % th:
-        return flow_warp(x, flow)  # fallback: odd tiling
-    n_tiles = h // th
-    bmax = 32
-    pad = r + bmax + 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-
-    nx = 2 * r + 2
-    wrows = th + 2 * r + 1
-    wcols = w + 2 * r + 1
-
-    flow_t = flow.reshape(b, n_tiles, th, w, 2)
-    base = jnp.clip(jnp.round(jnp.mean(flow_t, axis=(2, 3))), -bmax, bmax)
-    base = base.astype(jnp.int32)  # (B, n_tiles, 2) -> (dx, dy)
-
-    def one_tile(xp_b, flow_tile, base_xy, tile_idx):
-        # window rows [tile_idx*th + base_y - r, +wrows) in padded coords
-        row0 = tile_idx * th + base_xy[1] - r + pad
-        col0 = base_xy[0] - r + pad
-        win = jax.lax.dynamic_slice(xp_b, (row0, col0, 0), (wrows, wcols, c))
-
-        eps = 1e-4
-        a = jnp.clip(flow_tile[..., 1] - base_xy[1].astype(x.dtype) + r,
-                     0.0, nx - 1 - eps)
-        bb = jnp.clip(flow_tile[..., 0] - base_xy[0].astype(x.dtype) + r,
-                      0.0, nx - 1 - eps)
-        y0 = jnp.floor(a)
-        x0 = jnp.floor(bb)
-        fy = a - y0
-        fx = bb - x0
-
-        out = jnp.zeros((th, w, c), x.dtype)
-        for e in range(nx):
-            wy = jnp.where(y0 == e, 1.0 - fy, 0.0) + \
-                jnp.where(y0 == e - 1, fy, 0.0)
-            for f in range(nx):
-                wx = jnp.where(x0 == f, 1.0 - fx, 0.0) + \
-                    jnp.where(x0 == f - 1, fx, 0.0)
-                out = out + (wy * wx)[..., None] * win[e : e + th, f : f + w]
-        return out
-
-    tiles = jax.vmap(  # over batch
-        jax.vmap(one_tile, in_axes=(None, 0, 0, 0)),
-        in_axes=(0, 0, 0, None),
-    )(xp, flow_t, base, jnp.arange(n_tiles))
-    return tiles.reshape(b, h, w, c)
 
 
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,

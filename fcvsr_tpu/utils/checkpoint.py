@@ -134,3 +134,43 @@ def export_torch_style(params, path: str) -> None:
         elif leaf in ("a", "b"):
             out[f"{base}.{leaf}"] = v.reshape(-1, 1, 1)
     np.savez(path, **out)
+
+
+def save_gan_checkpoint(ckpt_dir: str, step: int, state,
+                        max_to_keep: int = 3) -> None:
+    """Persist a GANRestorer tuple state (g_params, d_params, g_opt, d_opt,
+    counter); entries that are None (generator-only stage) are skipped."""
+    import orbax.checkpoint as ocp
+
+    g_params, d_params, g_opt, d_opt, counter = state
+    payload = {"step": int(step), "counter": int(counter),
+               "g_params": jax.device_get(g_params),
+               "g_opt": jax.device_get(g_opt)}
+    if d_params is not None:
+        payload["d_params"] = jax.device_get(d_params)
+        payload["d_opt"] = jax.device_get(d_opt)
+    _manager(ckpt_dir, max_to_keep).save(
+        step, args=ocp.args.StandardSave(payload))
+
+
+def restore_gan_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
+    """Restore a GAN tuple state saved by save_gan_checkpoint; returns
+    (state, start_step).  Missing dir -> (state, 0)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    g_params, d_params, g_opt, d_opt, counter = state
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return state, 0
+    template = {"step": 0, "counter": 0,
+                "g_params": jax.device_get(g_params),
+                "g_opt": jax.device_get(g_opt)}
+    if d_params is not None:
+        template["d_params"] = jax.device_get(d_params)
+        template["d_opt"] = jax.device_get(d_opt)
+    got = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    return ((got["g_params"], got.get("d_params", d_params),
+             got["g_opt"], got.get("d_opt", d_opt),
+             jnp.int32(got["counter"])), int(got["step"]))

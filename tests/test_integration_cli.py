@@ -62,7 +62,7 @@ def test_train_then_eval_cycle(synthetic_dataset, tmp_path):
 def test_config_presets_roundtrip():
     from fcvsr_tpu.utils.config import ExperimentConfig, PRESET_NAMES, preset
 
-    assert len(PRESET_NAMES) == 31  # 24 FCVSR + 7 FTVSR
+    assert len(PRESET_NAMES) == 36  # 24 FCVSR + 7 FTVSR + 5 GAN-family
     for name in ["fcvsr_redsLD_QP37", "fcvsr_s_cvcpLD_QP22", "fcvsr_vimeoLD_QP27"]:
         cfg = preset(name)
         back = ExperimentConfig.from_json(cfg.to_json())
@@ -119,3 +119,140 @@ def test_ftvsr_preset_trains_one_iter(tmp_path):
         "--work-dir", str(tmp_path / "work"),
     ])
     assert os.path.isdir(os.path.join(tmp_path, "work", cfg.name, "ckpt"))
+
+
+def _make_pair_tree(root, n_frames, lr_hw, gt_hw, seed=5):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    lr_root, gt_root = os.path.join(root, "lr"), os.path.join(root, "gt")
+    for seq in ["seq_0"]:
+        os.makedirs(os.path.join(lr_root, seq))
+        os.makedirs(os.path.join(gt_root, seq))
+        for i in range(n_frames):
+            Image.fromarray(rng.integers(0, 255, lr_hw + (3,),
+                                         np.uint8)).save(
+                os.path.join(lr_root, seq, f"{i:08d}.png"))
+            Image.fromarray(rng.integers(0, 255, gt_hw + (3,),
+                                         np.uint8)).save(
+                os.path.join(gt_root, seq, f"{i:08d}.png"))
+    return lr_root, gt_root
+
+
+@pytest.mark.slow
+def test_realbasicvsr_preset_trains(tmp_path):
+    """RealBasicVSR CLI path: GT-only data, on-the-fly second-order
+    degradations, GANRestorer two-optimizer step (VERDICT r2 item 5)."""
+    # SpyNet's 6-level pyramid needs >=32px LQ patches
+    _, gt_root = _make_pair_tree(str(tmp_path), 6, (64, 64), (256, 256))
+
+    from fcvsr_tpu.utils.config import preset
+
+    cfg = preset("realbasicvsr_reds")
+    cfg.model.n_feats = 8
+    cfg.model.num_blocks = 1
+    cfg.model.num_frames = 3
+    cfg.data.gt_root = gt_root
+    cfg.data.batch_size = 1
+    cfg.data.lr_patch = 64
+    cfg.train.total_iters = 2
+    cfg.train.log_interval = 1
+    cfg.train.ckpt_interval = 2
+    cfg.work_dir = str(tmp_path / "work")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    import train as train_cli
+
+    train_cli.main(["--config", cfg_path])
+    assert os.path.isdir(os.path.join(cfg.work_dir, cfg.name, "ckpt"))
+
+
+@pytest.mark.slow
+def test_realbasicvsr_wogan_preset_trains(tmp_path):
+    """The generator-only (wogan pre-training) stage: no discriminator."""
+    _, gt_root = _make_pair_tree(str(tmp_path), 6, (64, 64), (256, 256))
+
+    from fcvsr_tpu.utils.config import preset
+
+    cfg = preset("realbasicvsr_wogan_reds")
+    cfg.model.n_feats = 8
+    cfg.model.num_blocks = 1
+    cfg.model.num_frames = 3
+    cfg.data.gt_root = gt_root
+    cfg.data.batch_size = 1
+    cfg.data.lr_patch = 64
+    cfg.train.total_iters = 2
+    cfg.train.log_interval = 1
+    cfg.train.ckpt_interval = 2
+    cfg.work_dir = str(tmp_path / "work")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    import train as train_cli
+
+    train_cli.main(["--config", cfg_path])
+    assert os.path.isdir(os.path.join(cfg.work_dir, cfg.name, "ckpt"))
+
+
+@pytest.mark.slow
+def test_glean_preset_trains(tmp_path):
+    """GLEAN CLI path: StyleGAN2 generator+discriminator two-optimizer."""
+    lr_root, gt_root = _make_pair_tree(str(tmp_path), 3, (8, 8), (32, 32))
+
+    from fcvsr_tpu.utils.config import preset
+
+    cfg = preset("glean_cat_8x")
+    cfg.model.in_size = 8
+    cfg.model.out_size = 32
+    cfg.model.n_feats = 8
+    cfg.model.num_blocks = 1
+    cfg.model.num_frames = 1
+    cfg.data.lr_root = lr_root
+    cfg.data.gt_root = gt_root
+    cfg.data.batch_size = 1
+    cfg.data.lr_patch = 8
+    cfg.train.total_iters = 2
+    cfg.train.log_interval = 1
+    cfg.train.ckpt_interval = 2
+    cfg.work_dir = str(tmp_path / "work")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    import train as train_cli
+
+    train_cli.main(["--config", cfg_path])
+    assert os.path.isdir(os.path.join(cfg.work_dir, cfg.name, "ckpt"))
+
+
+@pytest.mark.slow
+def test_dic_preset_trains(tmp_path):
+    """DIC CLI path: feedback hourglass, multi-step pixel losses (+LightCNN
+    adversary for the gan variant)."""
+    lr_root, gt_root = _make_pair_tree(str(tmp_path), 3, (16, 16), (128, 128))
+
+    from fcvsr_tpu.utils.config import preset
+
+    cfg = preset("dic_celeba")
+    cfg.model.n_feats = 8
+    cfg.model.num_blocks = 2
+    cfg.model.num_steps = 2
+    cfg.model.num_frames = 1
+    cfg.data.lr_root = lr_root
+    cfg.data.gt_root = gt_root
+    cfg.data.batch_size = 1
+    cfg.train.total_iters = 2
+    cfg.train.log_interval = 1
+    cfg.train.ckpt_interval = 2
+    cfg.work_dir = str(tmp_path / "work")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    import train as train_cli
+
+    train_cli.main(["--config", cfg_path])
+    assert os.path.isdir(os.path.join(cfg.work_dir, cfg.name, "ckpt"))

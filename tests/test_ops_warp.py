@@ -45,42 +45,3 @@ def test_flow_warp_large_flow_zero_padding():
     flow = np.full((1, 6, 6, 2), 100.0, np.float32)
     out = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow)))
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
-
-
-class TestStencilWarp:
-    """flow_warp_stencil vs the exact gather path (in-contract flows)."""
-
-    def _cmp(self, flow, h=32, w=48, c=8, atol=1e-5):
-        from fcvsr_tpu.ops.warp import flow_warp, flow_warp_stencil
-
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
-        ref = flow_warp(x, flow)
-        got = flow_warp_stencil(x, flow, radius=3, tile_rows=16)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=atol)
-
-    def test_small_random_flow(self):
-        rng = np.random.default_rng(1)
-        self._cmp(jnp.asarray(rng.uniform(-2.5, 2.5, (2, 32, 48, 2)),
-                              jnp.float32))
-
-    def test_large_smooth_flow(self):
-        rng = np.random.default_rng(2)
-        base = jnp.asarray([17.3, -12.6], jnp.float32)
-        flow = jnp.broadcast_to(base, (2, 32, 48, 2)) + jnp.asarray(
-            rng.uniform(-1.5, 1.5, (2, 32, 48, 2)), jnp.float32)
-        self._cmp(flow)
-
-    def test_out_of_image_zero_padding(self):
-        # constant flow pushing the right half out of frame: zeros there
-        flow = jnp.full((2, 32, 48, 2), 25.0, jnp.float32)
-        self._cmp(flow)
-
-    def test_zero_flow_identity(self):
-        from fcvsr_tpu.ops.warp import flow_warp_stencil
-
-        rng = np.random.default_rng(3)
-        x = jnp.asarray(rng.standard_normal((1, 32, 48, 4)), jnp.float32)
-        out = flow_warp_stencil(x, jnp.zeros((1, 32, 48, 2)), radius=3)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)

@@ -44,6 +44,32 @@ def build_model(cfg):
         if cfg.model.num_blocks:
             kw["num_blocks"] = cfg.model.num_blocks
         return TTVSRNet(**kw)
+    if cfg.model.name == "realbasicvsr":
+        from fcvsr_tpu.models.real_basicvsr import RealBasicVSRNet
+
+        kw = {"mid_channels": cfg.model.n_feats}
+        if cfg.model.num_blocks:
+            kw["num_propagation_blocks"] = cfg.model.num_blocks
+            kw["num_cleaning_blocks"] = cfg.model.num_blocks
+        return RealBasicVSRNet(**kw)
+    if cfg.model.name == "glean":
+        from fcvsr_tpu.models.glean import GLEANStyleGANv2
+
+        return GLEANStyleGANv2(
+            in_size=cfg.model.in_size or 32,
+            out_size=cfg.model.out_size or 256,
+            rrdb_channels=cfg.model.n_feats,
+            num_rrdbs=cfg.model.num_blocks or 23)
+    if cfg.model.name == "dic":
+        from fcvsr_tpu.models.dic import DICNet
+
+        kw = {"mid_channels": cfg.model.n_feats,
+              "hg_num_keypoints": cfg.model.hg_num_keypoints}
+        if cfg.model.num_steps:
+            kw["num_steps"] = cfg.model.num_steps
+        if cfg.model.num_blocks:
+            kw["num_blocks"] = cfg.model.num_blocks
+        return DICNet(**kw)
     raise ValueError(f"unknown model {cfg.model.name}")
 
 
@@ -89,6 +115,189 @@ def sample_batch(rng, dataset, cfg):
             gts.append(np.transpose(gt, (2, 0, 1)))
         lrs.append(np.transpose(lr, (0, 3, 1, 2)))       # (T,C,H,W)
     return np.stack(lrs), np.stack(gts)
+
+
+def _build_discriminator(cfg):
+    """Discriminator module + its NHWC input builder for the GAN families."""
+    if cfg.gan.disc == "none":
+        return None
+    if cfg.gan.disc == "unet_sn":
+        from fcvsr_tpu.models.discriminators import \
+            UNetDiscriminatorWithSpectralNorm
+
+        return UNetDiscriminatorWithSpectralNorm(
+            mid_channels=max(cfg.model.n_feats, 8))
+    if cfg.gan.disc == "stylegan2":
+        from fcvsr_tpu.models.stylegan2 import StyleGAN2Discriminator
+
+        return StyleGAN2Discriminator(in_size=cfg.model.out_size or 256)
+    if cfg.gan.disc == "lightcnn":
+        from fcvsr_tpu.models.discriminators import LightCNN
+
+        return LightCNN()
+    raise ValueError(f"unknown discriminator {cfg.gan.disc}")
+
+
+def run_gan_training(cfg, args):
+    """Two-optimizer adversarial training for realbasicvsr / glean / dic
+    (mmedit restorers/real_basicvsr.py:76-200, glean.py:1-83, dic.py:94-131).
+
+    Single-device by design: the GAN recipes train with small global batches
+    and their alternating-update state is a plain tuple; DP sharding of this
+    path is future work (the pixel-loss families cover the mesh path)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fcvsr_tpu.data import ClipFolderDataset
+    from fcvsr_tpu.models.gan_restorer import GANRestorer
+
+    work_dir = os.path.join(cfg.work_dir, cfg.name)
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    rng = np.random.default_rng(cfg.train.seed)
+    gen = build_model(cfg)
+    disc = _build_discriminator(cfg)
+    is_video = cfg.model.name == "realbasicvsr"
+    is_dic = cfg.model.name == "dic"
+    if is_dic:
+        scale = 8
+    elif cfg.model.name == "glean":
+        scale = (cfg.model.out_size or 256) // (cfg.model.in_size or 32)
+    else:
+        scale = 4
+
+    # ---- data ----
+    if cfg.data.degradations:
+        # LQ synthesized from GT sequences by the second-order chain
+        from fcvsr_tpu.data.degradations import (
+            degrade_sequence, realbasicvsr_degradation_chain)
+
+        chain = realbasicvsr_degradation_chain()
+        gt_ds = ClipFolderDataset(lr_root=cfg.data.gt_root,
+                                  gt_root=cfg.data.gt_root,
+                                  window=cfg.model.num_frames, scale=1)
+
+        def sample(rng):
+            lqs, gts = [], []
+            for _ in range(cfg.data.batch_size):
+                gt, _ = gt_ds.sample_train_sequence(
+                    rng, 4 * cfg.data.lr_patch)
+                lq = degrade_sequence(chain, gt, 4)
+                lqs.append(np.transpose(lq, (0, 3, 1, 2)))
+                gts.append(np.transpose(gt, (0, 3, 1, 2)))
+            return np.stack(lqs), np.stack(gts)
+    else:
+        ds = ClipFolderDataset(lr_root=cfg.data.lr_root,
+                               gt_root=cfg.data.gt_root,
+                               window=cfg.model.num_frames, scale=scale)
+
+        def sample(rng):
+            lqs, gts = [], []
+            for _ in range(cfg.data.batch_size):
+                if is_video:
+                    lq, gt = ds.sample_train_sequence(rng, cfg.data.lr_patch)
+                    lqs.append(np.transpose(lq, (0, 3, 1, 2)))
+                    gts.append(np.transpose(gt, (0, 3, 1, 2)))
+                else:  # image families: centre frame only
+                    lq, gt = ds.sample_train_window(rng, cfg.data.lr_patch)
+                    lqs.append(np.transpose(lq[lq.shape[0] // 2], (2, 0, 1)))
+                    gts.append(np.transpose(gt, (2, 0, 1)))
+            return np.stack(lqs), np.stack(gts)
+
+    lq0, gt0 = sample(rng)
+    g_params = gen.init(jax.random.PRNGKey(cfg.train.seed),
+                        jnp.asarray(lq0[:1]))
+    d_params = None
+    if disc is not None:
+        d_shape = (1,) + tuple(gt0.shape[-2:]) + (gt0.shape[-3],) \
+            if not is_video else (1, gt0.shape[-2], gt0.shape[-1], 3)
+        d_params = disc.init(jax.random.PRNGKey(cfg.train.seed + 1),
+                             jnp.zeros(d_shape, jnp.float32))
+
+    g_tx = optax.adam(cfg.train.lr, b1=cfg.train.betas[0],
+                      b2=cfg.train.betas[1])
+    d_tx = optax.adam(cfg.gan.disc_lr, b1=cfg.train.betas[0],
+                      b2=cfg.train.betas[1])
+
+    if is_dic:
+        # DIC multi-step supervision; landmark (align) loss needs annotation
+        # data the folder datasets don't carry — pixel steps only here, the
+        # aligned variant is exercised in tests/test_zoo_new.py::dic_losses.
+        def generator_loss(gp, dp, lq, gt):
+            sr_list, _ = gen.apply(gp, lq)
+            logs = {}
+            total = 0.0
+            for k, sr in enumerate(sr_list):  # dic_losses pixel terms
+                lp = jnp.abs(sr - gt).mean() * cfg.gan.pixel_loss_weight
+                logs[f"loss_pixel_v{k}"] = lp
+                total += lp
+            if disc is not None:
+                from fcvsr_tpu.train.gan_losses import gan_loss
+
+                fake = disc.apply(dp, jnp.transpose(
+                    sr_list[-1], (0, 2, 3, 1)))
+                lg = gan_loss(fake, True, cfg.gan.gan_type,
+                              loss_weight=cfg.gan.gan_loss_weight)
+                total += lg
+                logs["loss_gan"] = lg
+            return total, (logs,
+                           jax.lax.stop_gradient(jnp.transpose(
+                               sr_list[-1], (0, 2, 3, 1))))
+
+        rest = GANRestorer(
+            generator_apply=lambda p, x: gen.apply(p, x),
+            disc_apply=(lambda p, x: disc.apply(p, x)) if disc else None,
+            gan_type=cfg.gan.gan_type)
+        rest.generator_loss = generator_loss
+    else:
+        cleaning = cfg.gan.cleaning_loss_weight if is_video else 0.0
+
+        def g_apply(p, x):
+            if is_video and cleaning > 0:
+                return gen.apply(p, x, return_lqs=True)
+            return gen.apply(p, x)
+
+        rest = GANRestorer(
+            generator_apply=g_apply,
+            disc_apply=(lambda p, x: disc.apply(p, x)) if disc else None,
+            gan_type=cfg.gan.gan_type,
+            gan_loss_weight=cfg.gan.gan_loss_weight,
+            pixel_loss_weight=cfg.gan.pixel_loss_weight,
+            cleaning_loss_weight=cleaning,
+            disc_steps=cfg.gan.disc_steps,
+            disc_init_steps=cfg.gan.disc_init_steps,
+            relativistic=cfg.gan.relativistic)
+
+    step = rest.make_train_step(g_tx, d_tx)
+    state = (g_params, d_params, g_tx.init(g_params),
+             d_tx.init(d_params) if d_params is not None else None,
+             jnp.int32(0))
+
+    from fcvsr_tpu.utils.checkpoint import (restore_gan_checkpoint,
+                                            save_gan_checkpoint)
+
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    state, start = restore_gan_checkpoint(ckpt_dir, state)
+    log_f = open(os.path.join(work_dir, "train_log.csv"), "a", newline="")
+    logger = csv.writer(log_f)
+    t0 = time.time()
+    for it in range(start, cfg.train.total_iters):
+        lq_b, gt_b = sample(rng)
+        state, logs = step(state, jnp.asarray(lq_b), jnp.asarray(gt_b))
+        if (it + 1) % cfg.train.log_interval == 0:
+            msg = " ".join(f"{k} {float(np.asarray(v)):.5f}"
+                           for k, v in sorted(logs.items()))
+            print(f"iter {it+1}/{cfg.train.total_iters} {msg}", flush=True)
+            logger.writerow([it + 1] + [float(np.asarray(v))
+                                        for _, v in sorted(logs.items())])
+            log_f.flush()
+        if (it + 1) % cfg.train.ckpt_interval == 0 or \
+                (it + 1) == cfg.train.total_iters:
+            save_gan_checkpoint(ckpt_dir, it + 1, state)
+    print(f"training complete ({time.time() - t0:.1f}s)")
 
 
 def main(argv=None):
@@ -145,6 +354,10 @@ def main(argv=None):
         cfg.data.batch_size = args.batch_size
     if args.lr_patch:
         cfg.data.lr_patch = args.lr_patch
+
+    if cfg.model.name in ("realbasicvsr", "glean", "dic"):
+        run_gan_training(cfg, args)
+        return
 
     import jax
     import jax.numpy as jnp
