@@ -2,6 +2,7 @@ from .datasets import (
     AnnotationDataset,
     ClipFolderDataset,
     CVCPClipCache,
+    MM522Dataset,
     Vimeo90KDataset,
     as_model_input,
     load_image,
@@ -18,6 +19,7 @@ __all__ = [
     "AnnotationDataset",
     "ClipFolderDataset",
     "CVCPClipCache",
+    "MM522Dataset",
     "Vimeo90KDataset",
     "as_model_input",
     "load_image",

@@ -306,3 +306,70 @@ class SideInfoClipCache:
                         left * scale : (left + lr_patch) * scale]
         out["gt"] = to_float(gt)
         return out
+
+
+@dataclass
+class MM522Dataset:
+    """MMCNN MM520/522 training dataset (reference sr_mm522_dataset.py:25-128).
+
+    Keys come from a slash-separated meta file whose lines look like
+    ``root/sub1/sub2/clipA/clipB/frame``; the key is the trailing
+    ``clipA/clipB/frame`` triple, and frames live at
+    ``{lq,gt}_root/clipA/clipB/<frame>.png``.  ``val_partition``: 'official'
+    drops clips 240-269 (REDS-style), 'eval' drops 'eval_000' — the
+    reference's two choices.  Temporal interval augmentation + random
+    reverse follow the reference __getitem__ (the rest of the reference
+    class depends on the external ``basicsr`` package and is not part of
+    its runnable surface).
+    """
+
+    lq_root: str
+    gt_root: str
+    meta_file: str
+    num_input_frames: int = 7
+    scale: int = 4
+    val_partition: str = "official"
+    interval_list: Tuple[int, ...] = (1,)
+    random_reverse: bool = False
+
+    def __post_init__(self):
+        if self.val_partition == "eval":
+            val = {"eval_000"}
+        elif self.val_partition == "official":
+            val = {f"{v:03d}" for v in range(240, 270)}
+        else:
+            raise ValueError(
+                f"Wrong validation partition {self.val_partition}. "
+                "Supported ones are ['official', 'eval'].")
+        self.keys = []
+        with open(self.meta_file) as f:
+            for line in f:
+                parts = line.strip().split("/")
+                if len(parts) < 3:
+                    continue
+                key = "/".join(parts[-3:])
+                if key.split("/")[0] not in val:
+                    self.keys.append(key)
+
+    def _frames(self, clip_dir: str) -> List[str]:
+        return _list_frames(clip_dir)
+
+    def sample_train_window(self, rng: np.random.Generator,
+                            lr_patch: int = 64):
+        """Centre-GT training window with interval augmentation + optional
+        random temporal reverse.  Returns (lr (T,p,p,C), gt (P,P,C)) f32."""
+        key = self.keys[int(rng.integers(len(self.keys)))]
+        clip = os.path.dirname(key)
+        lr_paths = self._frames(os.path.join(self.lq_root, clip))
+        gt_paths = self._frames(os.path.join(self.gt_root, clip))
+        interval = int(self.interval_list[
+            int(rng.integers(len(self.interval_list)))])
+        t = self.num_input_frames
+        idx = segment_indices(rng, len(lr_paths), t, interval)
+        if self.random_reverse and rng.uniform() < 0.5:
+            idx = idx[::-1]
+        lr = np.stack([load_image(lr_paths[j]) for j in idx])
+        gt = load_image(gt_paths[idx[len(idx) // 2]])[None]
+        lr, gt = paired_random_crop(rng, lr, gt, lr_patch, self.scale)
+        lr, gt = paired_flip_rotate(rng, lr, gt)
+        return to_float(lr), to_float(gt[0])

@@ -100,3 +100,41 @@ def test_clip_folder_dataset(synthetic_clip_dirs):
     lr, gtc = ds.sample_train_window(rng, lr_patch=8)
     assert lr.shape == (7, 8, 8, 3)
     assert gtc.shape == (32, 32, 3)
+
+
+def test_mm522_dataset(tmp_path):
+    """MM522 key parsing, val-partition filtering, interval sampling
+    (reference sr_mm522_dataset.py:25-128)."""
+    from PIL import Image
+
+    from fcvsr_tpu.data import MM522Dataset
+
+    rng_img = np.random.default_rng(0)
+    for clip in ["000/sub", "241/sub"]:
+        for root, hw in (("lq", (16, 16)), ("gt", (64, 64))):
+            d = tmp_path / root / clip
+            d.mkdir(parents=True)
+            for i in range(10):
+                Image.fromarray(rng_img.integers(
+                    0, 255, hw + (3,), np.uint8)).save(d / f"{i:08d}.png")
+    meta = tmp_path / "meta.txt"
+    lines = [f"data/train/x/000/sub/{i:08d}" for i in range(10)]
+    lines += [f"data/train/x/241/sub/{i:08d}" for i in range(10)]
+    meta.write_text("\n".join(lines) + "\n")
+
+    ds = MM522Dataset(str(tmp_path / "lq"), str(tmp_path / "gt"), str(meta),
+                      num_input_frames=5, interval_list=(1, 2),
+                      random_reverse=True)
+    # official partition removes clips 240-269
+    assert all(k.startswith("000/") for k in ds.keys)
+    assert len(ds.keys) == 10
+
+    rng = np.random.default_rng(1)
+    lr, gt = ds.sample_train_window(rng, lr_patch=8)
+    assert lr.shape == (5, 8, 8, 3)
+    assert gt.shape == (32, 32, 3)
+    assert lr.dtype == np.float32 and 0.0 <= lr.min() and lr.max() <= 1.0
+
+    with pytest.raises(ValueError, match="validation partition"):
+        MM522Dataset(str(tmp_path / "lq"), str(tmp_path / "gt"), str(meta),
+                     val_partition="bogus")

@@ -49,10 +49,13 @@ def conv(x, k):
     return jax.lax.conv_general_dilated(
         x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+# NOTE: reduce over the FULL conv output — slicing one pixel would let XLA
+# dead-code-eliminate almost the whole conv (round-3 bug: the first probe
+# version did exactly that and mismeasured the bf16 ratio).
 @functools.partial(jax.jit, static_argnums=(2,))
 def run_n(x, k, n):
     def body(i, acc):
-        return acc + jnp.sum(conv(x * (1 + 1e-6 * i), k)[0, 0, 0])
+        return acc + jnp.mean(conv(x * (1 + 1e-6 * i), k))
     return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
 
 rng = np.random.default_rng(0)
@@ -61,12 +64,20 @@ for name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
     x = jnp.asarray(rng.standard_normal((1, 272, 480, 64)), dt)
     k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.01, dt)
     np.asarray(run_n(x, k, 1))  # compile
-    n = 50
-    t0 = time.perf_counter(); np.asarray(run_n(x, k, n))
-    base = time.perf_counter() - t0
-    t0 = time.perf_counter(); np.asarray(run_n(x, k, 2 * n))
-    full = time.perf_counter() - t0
-    res[name] = (full - base) / n * 1e3  # ms per conv
+    n = 60
+    np.asarray(run_n(x, k, n))  # warm
+
+    def timed(m):
+        t0 = time.perf_counter()
+        v = np.asarray(run_n(x, k, m))
+        assert np.isfinite(float(v))
+        return time.perf_counter() - t0
+
+    # min-of-3 for both points: single-shot subtraction goes negative
+    # under tunnel jitter (round-3 mismeasurement)
+    base = min(timed(1) for _ in range(3))
+    full = min(timed(n) for _ in range(3))
+    res[name] = (full - base) / (n - 1) * 1e3  # ms per conv
 print("PROBE_OK", round(res["f32"], 3), round(res["bf16"], 3),
       round(res["bf16"] / max(res["f32"], 1e-9), 2))
 """
