@@ -23,7 +23,20 @@ import jax.numpy as jnp
 
 from .warp import grid_sample_bilinear
 
-__all__ = ["deform_conv2d", "modulated_deform_conv2d"]
+__all__ = ["deform_conv2d", "modulated_deform_conv2d", "set_dcn_impl"]
+
+# 'gather' = the exact XLA formulation below (differentiable — training uses
+# it); 'pallas' routes supported 3x3/stride-1 configs through the fused
+# windowed-stencil kernel (ops/pallas_dcn.py — forward-only, bounded
+# per-tile offset deviation; measured vs gather in
+# benchmarks/microbench_dcn.py).  Follows the set_fft_impl pattern.
+_DCN_IMPL = "gather"
+
+
+def set_dcn_impl(impl: str) -> None:
+    global _DCN_IMPL
+    assert impl in ("gather", "pallas")
+    _DCN_IMPL = impl
 
 
 def _deform_im2col(x, offset, kernel_size, stride, padding, dilation,
@@ -86,6 +99,20 @@ def modulated_deform_conv2d(
     already sigmoided (or None for DCNv1); weight: (kh, kw, Cin//groups, Cout).
     Returns (B, Ho, Wo, Cout).
     """
+    if _DCN_IMPL == "pallas":
+        from .pallas_dcn import modulated_deform_conv2d_fused
+
+        return modulated_deform_conv2d_fused(
+            x, offset, mask, weight, bias, stride, padding, dilation,
+            groups, deform_groups,
+            interpret=jax.default_backend() == "cpu")
+    return _gather_forward(x, offset, mask, weight, bias, stride, padding,
+                           dilation, groups, deform_groups)
+
+
+def _gather_forward(x, offset, mask, weight, bias=None, stride=1, padding=1,
+                    dilation=1, groups=1, deform_groups=1):
+    """The exact XLA gather+einsum forward (differentiable)."""
     kh, kw, cin_g, cout = weight.shape
     k = kh * kw
     cols = _deform_im2col(x, offset, (kh, kw), stride, padding, dilation,

@@ -1,0 +1,254 @@
+"""Fused Pallas DCNv1/v2 (deformable 3x3 conv) for the EDVR/PCD family.
+
+TPU-native equivalent of the reference CUDA extension
+(CVSR_train/arch/ops/dcn/src/deform_conv_cuda_kernel.cu:1-867): the XLA
+formulation in ops/dcn.py expresses deformable im2col as per-pixel bilinear
+gathers, which run at gather speed (~73.5 ms per L1 EDVR call after the
+round-2 full-row rewrite) — two orders of magnitude off conv speed.
+
+This kernel reuses the windowed-stencil design proven by ops/pallas_iac.py:
+
+* one source window per row tile, DMA'd at a per-tile dynamic base offset
+  (``round(mean(offsets))`` over the tile — deform offsets are small in
+  practice, and per-pixel deviations beyond ``radius`` clamp, with the XLA
+  gather path as the bit-exact fallback);
+* the 3x3 tap positions are STATIC shifts layered on the stencil slices, so
+  all 9 taps share one window;
+* deform-group weights broadcast across each group's channel block by
+  splitting the sublane dim ((rows, C, W) -> (rows, dg, C/dg, W)) — every
+  FMA runs over full-width full-channel rows;
+* the conv reduction is one in-kernel (th*W, K*Cin) x (K*Cin, Cout) matmul
+  on the MXU, with DCNv2 modulation masks folded into the stencil weights.
+
+Supported: kernel 3x3, stride 1, dilation 1, groups=1 (the configuration
+every zoo consumer uses — EDVR/BasicVSR++/IconVSR/TDAN); anything else
+falls back to the XLA path in ops/dcn.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["modulated_deform_conv2d_fused"]
+
+
+def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
+            radius, th, h, w, c, cout, pad_v, pad_l, bmax_x, wp, has_mask,
+            tiles):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = radius
+    dg = offy_ref.shape[3]
+    cg = c // dg
+    k9 = offy_ref.shape[1]
+    wrows = th + 2 * r + 3            # tap extent (+-1) + dev extent (+-r)
+
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    t0 = ti * th
+
+    def body(win, sem_w):
+        offy = offy_ref[0]            # (K, th, dg, w)
+        offx = offx_ref[0]
+
+        base_y = jnp.clip(jnp.round(jnp.mean(offy)), -(pad_v - r - 2),
+                          pad_v - r - 2).astype(jnp.int32)
+        base_x = jnp.clip(jnp.round(jnp.mean(offx)), -bmax_x,
+                          bmax_x).astype(jnp.int32)
+
+        # window rows [t0 - 1 - r + base_y, +wrows) in padded coords
+        row0 = t0 + base_y - r - 1 + pad_v
+        cp = pltpu.make_async_copy(src_hbm.at[bi, pl.ds(row0, wrows)],
+                                   win, sem_w)
+        cp.start()
+
+        nx = 2 * r + 2
+        eps = 1e-4
+        a = jnp.clip(offy - base_y.astype(offy.dtype) + r, 0.0, nx - 1 - eps)
+        b = jnp.clip(offx - base_x.astype(offx.dtype) + r, 0.0, nx - 1 - eps)
+        y0 = jnp.floor(a)
+        x0 = jnp.floor(b)
+        fy = a - y0
+        fx = b - x0
+
+        cp.wait()
+        col0 = base_x - r - 1 + pad_l
+        rolled = pltpu.roll(win[...], wp - col0, axis=2)
+        win5 = rolled.reshape(wrows, dg, cg, wp)
+
+        tokens = []
+        for k in range(k9):
+            ty, tx = k // 3, k % 3    # static tap shifts (dilation 1)
+            wy = []
+            wx = []
+            for e in range(nx):
+                wy.append(jnp.where(y0[k] == e, 1.0 - fy[k], 0.0)
+                          + jnp.where(y0[k] == e - 1, fy[k], 0.0))
+                wx.append(jnp.where(x0[k] == e, 1.0 - fx[k], 0.0)
+                          + jnp.where(x0[k] == e - 1, fx[k], 0.0))
+            col = jnp.zeros((th, dg, cg, w), jnp.float32)
+            for e in range(nx):
+                for f in range(nx):
+                    wgt = wy[e] * wx[f]          # (th, dg, w)
+                    col = col + wgt[:, :, None, :] * \
+                        win5[e + ty : e + ty + th, :, :, f + tx : f + tx + w]
+            if has_mask:
+                col = col * mask_ref[0, k][:, :, None, :]
+            tokens.append(col.reshape(th, c, w))
+        # (th, K*C, w) -> (th, w, K*C) -> MXU reduce to (th, w, Cout)
+        tok = jnp.swapaxes(jnp.concatenate(tokens, axis=1), 1, 2)
+        out = jax.lax.dot_general(
+            tok, w_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0] = out
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((wrows, c, wp), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_vmappable(radius, tile_rows, deform_groups, has_mask, interpret):
+    """custom_vmap wrapper: the manual-DMA source input cannot be block-
+    indexed under vmap (Mosaic requires trivial index maps for HBM-space
+    inputs), so a vmapped call folds the mapped axis into the kernel's own
+    batch grid instead (EDVR runs its DCNs under nn.vmap over frames)."""
+
+    def base(x, offset, mask, weight):
+        return _fused_call(x, offset, mask if has_mask else None, weight,
+                           radius, tile_rows, deform_groups, interpret)
+
+    wrapped = jax.custom_batching.custom_vmap(base)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, x, offset, mask, weight):  # noqa: ANN001
+        xb, ob, mb, wb = in_batched
+        if wb:  # batched weights: no grid folding possible — loop instead
+            outs = [base(x[i] if xb else x, offset[i] if ob else offset,
+                         mask[i] if mb else mask, weight[i])
+                    for i in range(axis_size)]
+            return jnp.stack(outs), True
+
+        def bat(a, is_b):
+            if is_b:
+                return a.reshape((-1,) + a.shape[2:])
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape) \
+                .reshape((-1,) + a.shape[1:])
+
+        out = base(bat(x, xb), bat(offset, ob), bat(mask, mb), weight)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return wrapped
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "tile_rows",
+                                             "deform_groups", "interpret"))
+def _fused_call(x, offset, mask, weight, radius, tile_rows, deform_groups,
+                interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    dg = deform_groups
+    k9 = 9
+    cout = weight.shape[-1]
+    th = tile_rows
+    tiles = h // th
+
+    pad_v = radius + 15               # vertical base coverage +-(pad_v-r-2)
+    wp = ((w + 2 * (radius + 15) + 127) // 128) * 128
+    extra = wp - w - 2 * (radius + 15)
+    pad_l = radius + 15 + extra // 2
+    pad_r = wp - w - pad_l
+    bmax_x = min(pad_l, pad_r) - radius - 2
+    src = jnp.transpose(
+        jnp.pad(x, ((0, 0), (pad_v, pad_v), (pad_l, pad_r), (0, 0))),
+        (0, 1, 3, 2))                 # (B, Hp, C, Wp)
+
+    # offsets (B, H, W, dg*K*2) with (dg, k, [dy, dx]) layout
+    off = offset.reshape(b, h, w, dg, k9, 2)
+    offy = jnp.transpose(off[..., 0], (0, 4, 1, 3, 2))   # (B, K, H, dg, W)
+    offx = jnp.transpose(off[..., 1], (0, 4, 1, 3, 2))
+    if mask is not None:
+        mk = jnp.transpose(mask.reshape(b, h, w, dg, k9), (0, 4, 1, 3, 2))
+    else:
+        mk = jnp.zeros((b, k9, h, dg, w), x.dtype)  # unused (has_mask=False)
+
+    # weight (3, 3, Cin, Cout) -> (K*Cin, Cout) with k-major token layout
+    wmat = weight.reshape(k9 * c, cout)
+
+    kern = functools.partial(
+        _kernel, radius=radius, th=th, h=h, w=w, c=c, cout=cout,
+        pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x, wp=wp,
+        has_mask=mask is not None, tiles=tiles)
+    return pl.pallas_call(
+        kern,
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec((1, k9, th, dg, w), lambda bi, ti: (bi, 0, ti, 0, 0)),
+            pl.BlockSpec((1, k9, th, dg, w), lambda bi, ti: (bi, 0, ti, 0, 0)),
+            pl.BlockSpec((1, k9, th, dg, w), lambda bi, ti: (bi, 0, ti, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((k9 * c, cout), lambda bi, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, cout),
+                               lambda bi, ti: (bi, ti, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(offy, offx, mk, src, wmat)
+
+
+def modulated_deform_conv2d_fused(
+    x, offset, mask, weight, bias=None, stride=1, padding=1, dilation=1,
+    groups=1, deform_groups=1, radius=2, tile_rows=0, interpret=False):
+    """Fused DCNv2 (or v1 when ``mask`` is None); falls back to the exact
+    XLA path for unsupported configurations.  Same signature/semantics as
+    ops.dcn.modulated_deform_conv2d."""
+    b, h, w, c = x.shape
+    kh, kw = weight.shape[:2]
+    supported = (kh == 3 and kw == 3 and stride == 1 and padding == 1
+                 and dilation == 1 and groups == 1
+                 and c % deform_groups == 0
+                 and (c // deform_groups) % 8 == 0)
+    if not supported:
+        # call the gather body directly (the public entry would re-route
+        # here under set_dcn_impl('pallas') — infinite recursion)
+        from .dcn import _gather_forward
+
+        return _gather_forward(
+            x, offset, mask, weight, bias, stride, padding, dilation,
+            groups, deform_groups)
+    # non-multiple-of-8 heights (EDVR pyramid levels 92/46): zero-pad rows
+    # to the tile grid and slice the extra output rows away.  The padded
+    # rows' zero offsets only dilute the last tile's mean base — the same
+    # bounded-deviation contract class.
+    hp8 = -(-h // 8) * 8
+    if hp8 != h:
+        rp = hp8 - h
+        x = jnp.pad(x, ((0, 0), (0, rp), (0, 0), (0, 0)))
+        offset = jnp.pad(offset, ((0, 0), (0, rp), (0, 0), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, rp), (0, 0), (0, 0)))
+    if not tile_rows:
+        tile_rows = 16 if hp8 % 16 == 0 else 8
+    fn = _fused_vmappable(radius, tile_rows, deform_groups,
+                          mask is not None, interpret)
+    out = fn(x, offset,
+             mask if mask is not None else jnp.zeros(
+                 (b,) + x.shape[1:3] + (deform_groups * 9,), x.dtype),
+             weight)
+    if hp8 != h:
+        out = out[:, :h]
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)

@@ -24,15 +24,15 @@ This kernel processes a row tile per program and keeps everything in VMEM:
 Grid = (batch, row-tiles); all stencil slices are static; only the window
 DMA start is dynamic.
 
-Status (round 2): golden-tested against the XLA path in interpret mode
-(tests/test_pallas_iac.py), including large-uniform-flow and batch cases.
-Compiling ANY Pallas kernel on the current axon tunnel is blocked by
-infrastructure, not kernel content: the terminal's Mosaic AOT helper dies
-during libtpu init (missing TPU_ACCELERATOR_TYPE/TPU_WORKER_HOSTNAMES in
-its cleared env), and client-side compilation trips the deliberate libtpu
-version-mismatch guard (Nov-2025 terminal vs Jan-2026 client).  The trivial
-round-1 SAC kernel reproduces the same two failures, so this kernel is
-ready to measure the moment the terminal is upgraded.
+Status (round 3): RUNS ON HARDWARE.  The terminal upgrade unblocked Mosaic
+compiles; three real-lowering constraints interpret mode never surfaced
+were fixed (tile-aligned ref slices -> pre-tiled flow halo blocks;
+128-multiple lane dims on manual-DMA arrays -> source pre-transposed to
+(B, Hp, C, Wp) with full-width row DMAs + a dynamic lane rotate for the
+horizontal base; scoped-VMEM 16M default -> CompilerParams).  Measured at
+272x480x64: 1.14 ms per fused iteration (16-row tiles) vs 2.30 ms for the
+XLA gather path; golden on-device max dev 3.0e-5.  Golden tests run in
+interpret mode on CPU (tests/test_pallas_iac.py).
 """
 
 from __future__ import annotations
@@ -160,7 +160,7 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius, th,
 @functools.partial(jax.jit,
                    static_argnames=("radius", "tile_rows", "act", "interpret"))
 def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
-                   tile_rows: int = 8, act: bool = True,
+                   tile_rows: int = 0, act: bool = True,
                    interpret: bool = False):
     """One fused IAC iteration.
 
@@ -173,6 +173,10 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = feat.shape
+    if not tile_rows:
+        # bigger tiles amortize the window halo (measured 1.14 vs 1.25ms
+        # per iteration at 272x480x64 for 16 vs 8)
+        tile_rows = 16 if h % 16 == 0 else 8
     if h % tile_rows:
         raise ValueError(f"H={h} not divisible by tile_rows={tile_rows}")
     if c % 8:
@@ -229,7 +233,7 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
 
 
 def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
-              act_last: bool = True, radius: int = 2, tile_rows: int = 8,
+              act_last: bool = True, radius: int = 2, tile_rows: int = 0,
               interpret: bool = False):
     """Fused IAC chain (kernel1-both semantics only).
 
