@@ -51,6 +51,10 @@ ATTEMPTS = [
     # regime where batching would start to win).
     ("fcvsr_full_throughput_480x272", "tput", "fcvsr_pallas", 272, 480, 2, 2700),
     ("fcvsr_s_train_step_ms", "train", "fcvsr_s", 64, 64, 2, 1800),
+    # zoo perf tracking: EDVR was pathological on TPU (0.6 fps r1, DCN
+    # gathers); the fused Pallas DCN (ops/pallas_dcn.py, 44x on the L1
+    # call) is the fix — this entry keeps it measured.
+    ("edvr_pallas_fps_320x184", "fps", "edvr_pallas", 184, 320, 1, 2700),
 ]
 HEADLINE = "fcvsr_full_fps_480x272"
 
@@ -78,10 +82,16 @@ def make(name, **kw):
                         **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
+    if name == "edvr_pallas":
+        from fcvsr_tpu.ops.dcn import set_dcn_impl
+        set_dcn_impl("pallas")  # fused DCN (ops/pallas_dcn.py)
     return EDVRNet(in_channels=3, out_channels=3, num_frames=5)
 
 model = make(model_name)
-x = jnp.asarray(rng.uniform(0, 1, (batch, 7, 1, h, w)), jnp.float32)
+if model_name.startswith("edvr"):
+    x = jnp.asarray(rng.uniform(0, 1, (batch, 5, 3, h, w)), jnp.float32)
+else:
+    x = jnp.asarray(rng.uniform(0, 1, (batch, 7, 1, h, w)), jnp.float32)
 
 if kind == "train":
     from fcvsr_tpu.train import cosine_restart, create_train_state, \

@@ -128,6 +128,12 @@ def main(argv=None):
     parser.add_argument("--fps", action="store_true")
     parser.add_argument("--seqs", type=str, default="",
                         help="comma-separated subset of sequences")
+    parser.add_argument("--fast", action="store_true",
+                        help="serve with the fused Pallas kernels "
+                             "(warp_impl='pallas' IAC + set_dcn_impl"
+                             "('pallas') DCN): ~1.2x FCVSR / ~21x EDVR on "
+                             "TPU, per-tile bounded-deviation contract "
+                             "instead of bit-exact gathers (ops/pallas_*)")
     args = parser.parse_args(argv)
 
     from fcvsr_tpu.utils.config import ExperimentConfig, preset
@@ -143,7 +149,17 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if args.fast:
+        from fcvsr_tpu.ops.dcn import set_dcn_impl
+
+        set_dcn_impl("pallas")
+
     model = build_model(cfg)
+    if args.fast and cfg.model.name in ("fcvsr", "fcvsr_s"):
+        import dataclasses
+
+        model = dataclasses.replace(model, warp_impl="pallas",
+                                    batch_mgaa=True)
     x0 = jnp.zeros((1, 7, cfg.model.in_channels, 16, 16), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0)
 
