@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--c", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--tile-rows", type=int, default=8)
+    ap.add_argument("--radius", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -96,7 +97,8 @@ def main():
 
     fns = {
         "iter_pallas": (lambda v: warp_sac_fused(
-            v, flow, k1t, fin, radius=2, tile_rows=args.tile_rows), feat),
+            v, flow, k1t, fin, radius=args.radius,
+            tile_rows=args.tile_rows), feat),
         "iter_xla": (lambda v: ref_iter(v, flow, k1, fin), feat),
         "chain_pallas": (lambda v: iac_fused(
             v, pred_kt, offsets, ac, c, radius=2,
@@ -130,7 +132,7 @@ def main():
     ms = (total - base) / (n - 1) * 1e3
     print(json.dumps({"op": args.op, "ms": round(ms, 3),
                       "compile_s": round(compile_s, 1),
-                      "tile_rows": args.tile_rows}), flush=True)
+                      "tile_rows": args.tile_rows, "radius": args.radius}), flush=True)
 
 
 if __name__ == "__main__":

@@ -14,9 +14,9 @@ This kernel reuses the windowed-stencil design proven by ops/pallas_iac.py:
   gather path as the bit-exact fallback);
 * the 3x3 tap positions are STATIC shifts layered on the stencil slices, so
   all 9 taps share one window;
-* deform-group weights broadcast across each group's channel block by
-  splitting the sublane dim ((rows, C, W) -> (rows, dg, C/dg, W)) — every
-  FMA runs over full-width full-channel rows;
+* deform-group weights repeat across each group's channel block
+  ((rows, dg, W) -> (rows, C, W)) so every FMA runs over full-width
+  full-channel rows — any C/dg works (EDVR dg=8, BasicVSR++ dg=16);
 * the conv reduction is one in-kernel (th*W, K*Cin) x (K*Cin, Cout) matmul
   on the MXU, with DCNv2 modulation masks folded into the stencil weights.
 
@@ -79,7 +79,13 @@ def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
         cp.wait()
         col0 = base_x - r - 1 + pad_l
         rolled = pltpu.roll(win[...], wp - col0, axis=2)
-        win5 = rolled.reshape(wrows, dg, cg, wp)
+
+        def expand(v):
+            """(th, dg, w) group weights -> (th, C, w) channel weights
+            (each group's value repeated over its cg channel block)."""
+            if cg == 1:
+                return v
+            return jnp.repeat(v, cg, axis=1)
 
         tokens = []
         for k in range(k9):
@@ -87,19 +93,22 @@ def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
             wy = []
             wx = []
             for e in range(nx):
+                # keep the per-group (th, dg, w) form; expand only the
+                # per-tap product — storing expanded lists multiplied VMEM
+                # by C/dg and blew the scoped limit at dg=16
                 wy.append(jnp.where(y0[k] == e, 1.0 - fy[k], 0.0)
                           + jnp.where(y0[k] == e - 1, fy[k], 0.0))
                 wx.append(jnp.where(x0[k] == e, 1.0 - fx[k], 0.0)
                           + jnp.where(x0[k] == e - 1, fx[k], 0.0))
-            col = jnp.zeros((th, dg, cg, w), jnp.float32)
+            col = jnp.zeros((th, c, w), jnp.float32)
             for e in range(nx):
                 for f in range(nx):
-                    wgt = wy[e] * wx[f]          # (th, dg, w)
-                    col = col + wgt[:, :, None, :] * \
-                        win5[e + ty : e + ty + th, :, :, f + tx : f + tx + w]
+                    wgt = expand(wy[e] * wx[f])  # (th, C, w)
+                    col = col + wgt * \
+                        rolled[e + ty : e + ty + th, :, f + tx : f + tx + w]
             if has_mask:
-                col = col * mask_ref[0, k][:, :, None, :]
-            tokens.append(col.reshape(th, c, w))
+                col = col * expand(mask_ref[0, k])
+            tokens.append(col)
         # (th, K*C, w) -> (th, w, K*C) -> MXU reduce to (th, w, Cout)
         tok = jnp.swapaxes(jnp.concatenate(tokens, axis=1), 1, 2)
         out = jax.lax.dot_general(
@@ -218,8 +227,7 @@ def modulated_deform_conv2d_fused(
     kh, kw = weight.shape[:2]
     supported = (kh == 3 and kw == 3 and stride == 1 and padding == 1
                  and dilation == 1 and groups == 1
-                 and c % deform_groups == 0
-                 and (c // deform_groups) % 8 == 0)
+                 and c % deform_groups == 0 and c % 8 == 0)
     if not supported:
         # call the gather body directly (the public entry would re-route
         # here under set_dcn_impl('pallas') — infinite recursion)

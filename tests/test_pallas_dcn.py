@@ -125,3 +125,14 @@ def test_fused_dcn_under_vmap():
     )(xs, offs, masks)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_fused_dcn_dg16():
+    """BasicVSR++ geometry: deform_groups=16 at c=64 (cg=4)."""
+    x, offset, mask, weight, bias = _inputs(c=64, dg=16, cout=64)
+    ref = modulated_deform_conv2d(x, offset, mask, weight, bias,
+                                  deform_groups=16)
+    got = modulated_deform_conv2d_fused(x, offset, mask, weight, bias,
+                                        deform_groups=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=5e-4)
