@@ -87,15 +87,17 @@ def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
                 return v
             return jnp.repeat(v, cg, axis=1)
 
-        tokens = []
+        # accumulate the conv reduction per tap: 9 (th*W, C)x(C, Cout)
+        # MXU matmuls instead of one (th*W, 9C) — materializing the 9-tap
+        # token concat (+ its transpose) blew VMEM at dg=16
+        out = jnp.zeros((th, w, cout), jnp.float32)
         for k in range(k9):
             ty, tx = k // 3, k % 3    # static tap shifts (dilation 1)
             wy = []
             wx = []
             for e in range(nx):
-                # keep the per-group (th, dg, w) form; expand only the
-                # per-tap product — storing expanded lists multiplied VMEM
-                # by C/dg and blew the scoped limit at dg=16
+                # per-group (th, dg, w) form; expand only the per-tap
+                # product (storing expanded lists also blew VMEM)
                 wy.append(jnp.where(y0[k] == e, 1.0 - fy[k], 0.0)
                           + jnp.where(y0[k] == e - 1, fy[k], 0.0))
                 wx.append(jnp.where(x0[k] == e, 1.0 - fx[k], 0.0)
@@ -108,13 +110,10 @@ def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
                         rolled[e + ty : e + ty + th, :, f + tx : f + tx + w]
             if has_mask:
                 col = col * expand(mask_ref[0, k])
-            tokens.append(col)
-        # (th, K*C, w) -> (th, w, K*C) -> MXU reduce to (th, w, Cout)
-        tok = jnp.swapaxes(jnp.concatenate(tokens, axis=1), 1, 2)
-        out = jax.lax.dot_general(
-            tok, w_ref[...],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            out = out + jax.lax.dot_general(
+                jnp.swapaxes(col, 1, 2), w_ref[k * c : (k + 1) * c, :],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         out_ref[0] = out
 
     pl.run_scoped(
@@ -236,6 +235,23 @@ def modulated_deform_conv2d_fused(
         return _gather_forward(
             x, offset, mask, weight, bias, stride, padding, dilation,
             groups, deform_groups)
+    # cg (= C/dg) that is not a sublane multiple (BasicVSR++: dg=16 ->
+    # cg=4): the in-kernel group->channel repeat cannot share buffers
+    # across the unrolled taps and blows VMEM, so expand the offsets/mask
+    # to PER-CHANNEL groups outside the kernel instead (dg'=C, cg'=1 —
+    # expand() becomes the identity).  Costs C/dg x offset DMA bytes,
+    # still orders of magnitude under the gather path.
+    cg = c // deform_groups
+    if cg % 8 and cg > 1:
+        k9 = 9
+        off6 = offset.reshape(b, h, w, deform_groups, k9, 2)
+        offset = jnp.repeat(off6, cg, axis=3).reshape(b, h, w, c * k9 * 2)
+        if mask is not None:
+            m5 = mask.reshape(b, h, w, deform_groups, k9)
+            mask = jnp.repeat(m5, cg, axis=3).reshape(b, h, w, c * k9)
+        deform_groups = c
+        if not tile_rows:
+            tile_rows = 4  # per-channel offset blocks are C/dg x larger
     # non-multiple-of-8 heights (EDVR pyramid levels 92/46): zero-pad rows
     # to the tile grid and slice the extra output rows away.  The padded
     # rows' zero offsets only dilute the last tile's mean base — the same

@@ -13,6 +13,8 @@
   (BasicEncoder with instance norms, SepConvGRU).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -299,3 +301,37 @@ def test_raft_gru_matches_torch_transplant():
     np.testing.assert_allclose(np.asarray(got),
                                np.transpose(ref.numpy(), (0, 2, 3, 1)),
                                atol=1e-5)
+
+
+OFFICIAL_LPIPS_LIN = ("/root/reference/CVSR_train/opt/weights/v0.1/alex.pth")
+
+
+@pytest.mark.skipif(not os.path.exists(OFFICIAL_LPIPS_LIN),
+                    reason="official LPIPS linear weights not present")
+def test_lpips_loader_ingests_official_linear_heads():
+    """The official lpips v0.1 alex linear heads (shipped by the reference
+    under opt/weights/) parse through load_torch_lpips_weights — pins the
+    real key/shape format, not just our synthetic fixtures.  (The AlexNet
+    backbone needs torchvision's pretrained weights, absent offline — a
+    random backbone still validates the full mapping path.)"""
+    from fcvsr_tpu.metrics.lpips import LPIPSAlex, load_torch_lpips_weights
+
+    lin_state = {k: v for k, v in torch.load(
+        OFFICIAL_LPIPS_LIN, map_location="cpu").items()}
+    model = LPIPSAlex()
+    a = jnp.zeros((1, 3, 64, 64), jnp.float32)  # NCHW in [-1, 1]
+    p0 = model.init(jax.random.PRNGKey(0), a, a)
+    backbone = {}
+    rng = np.random.default_rng(0)
+    for tk, (co, ci, k) in {"0": (64, 3, 11), "3": (192, 64, 5),
+                            "6": (384, 192, 3), "8": (256, 384, 3),
+                            "10": (256, 256, 3)}.items():
+        backbone[f"{tk}.weight"] = rng.standard_normal(
+            (co, ci, k, k)).astype(np.float32) * 0.05
+        backbone[f"{tk}.bias"] = np.zeros(co, np.float32)
+    params = load_torch_lpips_weights(backbone, lin_state, p0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 3, 64, 64)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (1, 3, 64, 64)), jnp.float32)
+    d_same = float(model.apply(params, x, x)[0])
+    d_diff = float(model.apply(params, x, y)[0])
+    assert d_same < 1e-6 and d_diff > 0
