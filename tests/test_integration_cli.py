@@ -256,3 +256,30 @@ def test_dic_preset_trains(tmp_path):
 
     train_cli.main(["--config", cfg_path])
     assert os.path.isdir(os.path.join(cfg.work_dir, cfg.name, "ckpt"))
+
+
+@pytest.mark.slow
+def test_warm_start_and_explicit_resume(synthetic_dataset, tmp_path):
+    """load_from = params-only warm start (iter 0, fresh optimizer);
+    resume_from = full state from an explicit dir (reference
+    apis/train.py:233-236 / CVSR_train warm-start semantics)."""
+    lr_root, gt_root = synthetic_dataset
+    work_a = str(tmp_path / "a")
+
+    import train as train_cli
+
+    common = ["--preset", "fcvsr_s_redsLD_QP37", "--lr-root", lr_root,
+              "--gt-root", gt_root, "--total-iters", "2",
+              "--batch-size", "8", "--lr-patch", "12"]
+    train_cli.main(common + ["--work-dir", work_a])
+    ckpt_a = os.path.join(work_a, "fcvsr_s_redsLD_QP37", "ckpt")
+
+    # warm start into a fresh work dir: runs iters 0..2 again (params-only)
+    work_b = str(tmp_path / "b")
+    train_cli.main(common + ["--work-dir", work_b, "--load-from", ckpt_a])
+    assert os.path.isdir(os.path.join(work_b, "fcvsr_s_redsLD_QP37", "ckpt"))
+
+    # explicit resume: start == saved iters -> no new work, completes
+    work_c = str(tmp_path / "c")
+    train_cli.main(common + ["--work-dir", work_c, "--resume-from", ckpt_a])
+    assert os.path.isdir(os.path.join(work_c, "fcvsr_s_redsLD_QP37", "ckpt"))

@@ -314,6 +314,11 @@ def main(argv=None):
     parser.add_argument("--val-lr-root", type=str, default="",
                         help="periodic eval sequence dir (LR)")
     parser.add_argument("--val-gt-root", type=str, default="")
+    parser.add_argument("--load-from", type=str, default="",
+                        help="params-only warm start (ckpt dir or torch "
+                             ".npz)")
+    parser.add_argument("--resume-from", type=str, default="",
+                        help="full-state resume from an explicit ckpt dir")
     # multi-host launch (replaces the reference dist_train.sh / init_dist;
     # see docs/MULTIHOST.md for the per-host invocation recipe)
     parser.add_argument("--multihost", action="store_true",
@@ -354,6 +359,10 @@ def main(argv=None):
         cfg.data.batch_size = args.batch_size
     if args.lr_patch:
         cfg.data.lr_patch = args.lr_patch
+    if args.load_from:
+        cfg.train.load_from = args.load_from
+    if args.resume_from:
+        cfg.train.resume_from = args.resume_from
 
     if cfg.model.name in ("realbasicvsr", "glean", "dic"):
         run_gan_training(cfg, args)
@@ -396,7 +405,27 @@ def main(argv=None):
                                jnp.asarray(lr0[:1]), schedule,
                                betas=cfg.train.betas, use_ema=cfg.train.use_ema)
     ckpt_dir = os.path.join(work_dir, "ckpt")
-    state, start = restore_checkpoint(ckpt_dir, state)
+    # reference resume semantics (apis/train.py:233-236 + CVSR_train
+    # warm-start train_LD_freqCVSR_22.py:291):
+    #   load_from   — params-only warm start (fresh optimizer, iter 0);
+    #                 .npz = reference torch state_dict via the converter
+    #   resume_from — full state from an explicit checkpoint dir
+    #   otherwise   — auto-resume from the work dir
+    if cfg.train.load_from:
+        if cfg.train.load_from.endswith(".npz"):
+            from fcvsr_tpu.utils.torch_import import convert_torch_state_dict
+
+            tsd = dict(np.load(cfg.train.load_from))
+            state = state.replace(
+                params=convert_torch_state_dict(tsd, state.params))
+        else:
+            warm, _ = restore_checkpoint(cfg.train.load_from, state)
+            state = state.replace(params=warm.params)
+        start = 0
+    elif cfg.train.resume_from:
+        state, start = restore_checkpoint(cfg.train.resume_from, state)
+    else:
+        state, start = restore_checkpoint(ckpt_dir, state)
     state = replicate(state, mesh)
     train_step = make_train_step(model, cfg.train.loss, mesh=mesh)
 
