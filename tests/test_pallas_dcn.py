@@ -136,3 +136,22 @@ def test_fused_dcn_dg16():
                                         deform_groups=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_basicvsr_pp_model_level_pallas_dcn():
+    """BasicVSR++ (deform_groups=16 under nn.scan) forward with
+    set_dcn_impl('pallas') tracks the gather model (interpret on CPU)."""
+    from fcvsr_tpu.models.basicvsr_pp import BasicVSRPlusPlus
+    from fcvsr_tpu.ops import dcn as dcn_mod
+
+    m = BasicVSRPlusPlus(mid_channels=8, num_blocks=1)
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 3, 3, 64, 64)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(params, x)
+    dcn_mod.set_dcn_impl("pallas")
+    try:
+        got = m.apply(params, x)
+    finally:
+        dcn_mod.set_dcn_impl("gather")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
