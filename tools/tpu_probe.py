@@ -125,7 +125,7 @@ def main() -> None:
     args = ap.parse_args()
 
     results = {"when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-    results["dot"] = _run("dot", _DOT, 300)
+    results["dot"] = _run("dot", _DOT, 900)
     if results["dot"]["ok"]:
         results["bf16_conv"] = _run("bf16", _BF16, 600)
         if results["bf16_conv"].get("detail"):
