@@ -16,6 +16,7 @@ bilinear sampling and zero padding outside the frame; offset channels are
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -100,14 +101,54 @@ def modulated_deform_conv2d(
     Returns (B, Ho, Wo, Cout).
     """
     if _DCN_IMPL == "pallas":
-        from .pallas_dcn import modulated_deform_conv2d_fused
-
-        return modulated_deform_conv2d_fused(
-            x, offset, mask, weight, bias, stride, padding, dilation,
-            groups, deform_groups,
-            interpret=jax.default_backend() == "cpu")
+        return _fused_diff(x, offset, mask, weight, bias, stride, padding,
+                           dilation, groups, deform_groups)
     return _gather_forward(x, offset, mask, weight, bias, stride, padding,
                            dilation, groups, deform_groups)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_diff(x, offset, mask, weight, bias, stride, padding, dilation,
+                groups, deform_groups):
+    """Fused Pallas forward with the exact gather-path VJP.
+
+    ``pallas_call`` has no autodiff rule, so without this wrapper
+    ``set_dcn_impl('pallas')`` would be forward-only.  The backward here is
+    the VJP of :func:`_gather_forward` evaluated at the same primals —
+    i.e. the gradients a training run on the exact path would produce
+    (bit-identical for the op in isolation; through a composed model the
+    cotangents arriving at this op inherit the fused forward's bounded
+    per-tile deviation).  Cost note: the backward re-runs the gather
+    forward to build its VJP, so grad-mode total cost is
+    ``pallas_fwd + gather_fwd + gather_bwd`` — the win over the pure
+    gather path is the primal forward only (which is where the 44x
+    DCN-kernel speedup lives; benchmarks/microbench_dcn.py).
+    """
+    from .pallas_dcn import modulated_deform_conv2d_fused
+
+    return modulated_deform_conv2d_fused(
+        x, offset, mask, weight, bias, stride, padding, dilation,
+        groups, deform_groups, interpret=jax.default_backend() == "cpu")
+
+
+def _fused_diff_fwd(x, offset, mask, weight, bias, stride, padding,
+                    dilation, groups, deform_groups):
+    out = _fused_diff(x, offset, mask, weight, bias, stride, padding,
+                      dilation, groups, deform_groups)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _fused_diff_bwd(stride, padding, dilation, groups, deform_groups,
+                    res, g):
+    x, offset, mask, weight, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _gather_forward(*a, stride, padding, dilation, groups,
+                                   deform_groups),
+        x, offset, mask, weight, bias)
+    return vjp(g)
+
+
+_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
 
 
 def _gather_forward(x, offset, mask, weight, bias=None, stride=1, padding=1,

@@ -14,6 +14,8 @@ corrected operator.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -104,10 +106,8 @@ def iac(
         b, h, w, _ = feat_in.shape
         if kernel1_both and k1_only and k_tap_major and h % 8 == 0 \
                 and channels % 8 == 0 and ksize == 3:
-            from .pallas_iac import iac_fused
-            return iac_fused(feat_in, pred_k, offsets, ac_num, channels,
-                             act_last=act_last,
-                             interpret=jax.default_backend() == "cpu")
+            return _iac_fused_diff(feat_in, pred_k, offsets, ac_num,
+                                   channels, act_last)
         warp_impl = "gather"  # unsupported configuration: exact fallback
 
     warp = flow_warp
@@ -125,3 +125,46 @@ def iac(
         if i < ac_num - 1 or act_last:
             feat = jax.nn.leaky_relu(feat, 0.1)
     return feat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _iac_fused_diff(feat_in, pred_k, offsets, ac_num, channels, act_last):
+    """Fused Pallas IAC chain with the exact gather-path VJP.
+
+    ``pallas_call`` has no autodiff rule; this makes ``warp_impl='pallas'``
+    legal under ``jax.grad`` by pairing the fused forward
+    (``pallas_iac.iac_fused``) with the VJP of the exact gather-path
+    :func:`iac` at the same primals and flags (kernel1-both, k1-only,
+    tap-major — the only configuration the fused kernel supports).  The
+    backward re-runs the gather forward internally, so grad-mode cost is
+    ``pallas_fwd + gather_fwd + gather_bwd``; the training win is the
+    primal forward only.  Gradients are exact-path gradients (for the op
+    in isolation, bit-identical to ``warp_impl='gather'``).
+    """
+    from .pallas_iac import iac_fused
+
+    return iac_fused(feat_in, pred_k, offsets, ac_num, channels,
+                     act_last=act_last,
+                     interpret=jax.default_backend() == "cpu")
+
+
+def _iac_fused_diff_fwd(feat_in, pred_k, offsets, ac_num, channels,
+                        act_last):
+    out = _iac_fused_diff(feat_in, pred_k, offsets, ac_num, channels,
+                          act_last)
+    return out, (feat_in, pred_k, offsets)
+
+
+def _iac_fused_diff_bwd(ac_num, channels, act_last, res, g):
+    feat_in, pred_k, offsets = res
+
+    def exact(fi, pk, off):
+        return iac(fi, pk, off, ac_num, channels, 3, act_last=act_last,
+                   kernel1_both=True, k1_only=True, warp_impl="gather",
+                   k_tap_major=True)
+
+    _, vjp = jax.vjp(exact, feat_in, pred_k, offsets)
+    return vjp(g)
+
+
+_iac_fused_diff.defvjp(_iac_fused_diff_fwd, _iac_fused_diff_bwd)

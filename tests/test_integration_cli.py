@@ -283,3 +283,24 @@ def test_warm_start_and_explicit_resume(synthetic_dataset, tmp_path):
     work_c = str(tmp_path / "c")
     train_cli.main(common + ["--work-dir", work_c, "--resume-from", ckpt_a])
     assert os.path.isdir(os.path.join(work_c, "fcvsr_s_redsLD_QP37", "ckpt"))
+
+
+@pytest.mark.slow
+def test_train_fast_flag_uses_pallas_kernels(synthetic_dataset, tmp_path):
+    """`train.py --fast` routes training through the fused Pallas kernels
+    (interpret mode on CPU) via their custom VJPs: at --lr-patch 16 the
+    MGAA IAC runs at 16 rows, which satisfies the fused kernel's tiling
+    contract, so the flag exercises the real kernel-under-grad path."""
+    lr_root, gt_root = synthetic_dataset
+    work_dir = str(tmp_path / "work")
+
+    import train as train_cli
+
+    train_cli.main([
+        "--preset", "fcvsr_s_redsLD_QP37",
+        "--lr-root", lr_root, "--gt-root", gt_root,
+        "--work-dir", work_dir, "--total-iters", "2", "--batch-size", "8",
+        "--lr-patch", "16", "--fast",
+    ])
+    assert os.path.isdir(
+        os.path.join(work_dir, "fcvsr_s_redsLD_QP37", "ckpt"))

@@ -155,3 +155,36 @@ def test_basicvsr_pp_model_level_pallas_dcn():
     finally:
         dcn_mod.set_dcn_impl("gather")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+@pytest.mark.parametrize("with_mask", [True, False])
+def test_fused_dcn_grad_matches_gather(with_mask):
+    """set_dcn_impl('pallas') is legal under jax.grad: the custom VJP pairs
+    the fused forward with the exact gather-path backward, so for the op in
+    isolation (a linear loss, so the cotangent does not depend on the
+    forward's bounded deviation) the gradients match the gather path."""
+    from fcvsr_tpu.ops import dcn as dcn_mod
+
+    x, offset, mask, weight, bias = _inputs()
+    m = mask if with_mask else None
+    v = jnp.asarray(RNG.standard_normal(x.shape[:3] + (weight.shape[-1],)),
+                    jnp.float32)
+
+    def loss(impl):
+        def f(xx, oo, mm, ww, bb):
+            dcn_mod.set_dcn_impl(impl)
+            try:
+                out = modulated_deform_conv2d(xx, oo, mm, ww, bb,
+                                              deform_groups=2)
+            finally:
+                dcn_mod.set_dcn_impl("gather")
+            return jnp.vdot(out, v)
+        return f
+
+    args = (x, offset, m, weight, bias)
+    argnums = (0, 1, 3, 4) if m is None else (0, 1, 2, 3, 4)
+    g_ref = jax.grad(loss("gather"), argnums)(*args)
+    g_pal = jax.grad(loss("pallas"), argnums)(*args)
+    for gr, gp in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-5)

@@ -98,3 +98,29 @@ def test_model_level_pallas_iac_matches_gather():
     ref = ref_model.apply(params, x)
     got = FCVSRNet.small(in_channels=1, warp_impl="pallas").apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_iac_pallas_grad_matches_gather():
+    """warp_impl='pallas' is legal under jax.grad: the fused forward gets
+    the exact gather-path VJP (bit-level same backward computation), so a
+    linear loss yields matching gradients for all three inputs."""
+    b, h, w, c, ac = 1, 16, 24, 8, 2
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(RNG.standard_normal((b, h, w, ac * 3 * c)),
+                         jnp.float32)
+    offsets = jnp.asarray(RNG.uniform(-1.3, 1.3, (ac, b, h, w, 2)),
+                          jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+
+    def loss(impl):
+        def f(fi, pk, off):
+            out = iac(fi, pk, off, ac, c, 3, warp_impl=impl, k1_only=True,
+                      k_tap_major=True)
+            return jnp.vdot(out, v)
+        return f
+
+    g_ref = jax.grad(loss("gather"), (0, 1, 2))(feat_in, pred_k, offsets)
+    g_pal = jax.grad(loss("pallas"), (0, 1, 2))(feat_in, pred_k, offsets)
+    for gr, gp in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-5)

@@ -321,6 +321,15 @@ def main(argv=None):
                         help="full-state resume from an explicit ckpt dir")
     # multi-host launch (replaces the reference dist_train.sh / init_dist;
     # see docs/MULTIHOST.md for the per-host invocation recipe)
+    parser.add_argument("--fast", action="store_true",
+                        help="train through the fused Pallas serving "
+                             "kernels (warp_impl='pallas' IAC, "
+                             "set_dcn_impl('pallas') DCN).  The kernels "
+                             "carry a custom VJP whose backward is the "
+                             "exact gather-path VJP, so gradients are "
+                             "exact-path gradients; forwards use the "
+                             "bounded-deviation fused kernels "
+                             "(ops/pallas_iac.py, ops/pallas_dcn.py)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialise jax.distributed before training")
     parser.add_argument("--coordinator", type=str, default="",
@@ -364,6 +373,11 @@ def main(argv=None):
     if args.resume_from:
         cfg.train.resume_from = args.resume_from
 
+    if args.fast:
+        from fcvsr_tpu.ops.dcn import set_dcn_impl
+
+        set_dcn_impl("pallas")
+
     if cfg.model.name in ("realbasicvsr", "glean", "dic"):
         run_gan_training(cfg, args)
         return
@@ -381,6 +395,12 @@ def main(argv=None):
         f.write(cfg.to_json())
 
     model = build_model(cfg)
+    if args.fast and cfg.model.name in ("fcvsr", "fcvsr_s"):
+        import dataclasses as _dc
+
+        # batch_mgaa stays off: it is an eval-harness batching, and the
+        # tap-major k1 layout + fused IAC are what training benefits from
+        model = _dc.replace(model, warp_impl="pallas")
     dataset = build_dataset(cfg)
     schedule = build_schedule(cfg)
     # per-host data stream: distinct sampling stream per process (the
