@@ -78,8 +78,9 @@ def make(name, **kw):
     if name == "fcvsr_pallas":
         # fused Pallas IAC (bounded-deviation contract, ops/pallas_iac.py)
         # + batch-axis MGAA batching (CPU-exact; finite-probed below)
+        # + rows-layout Pallas SCNet (models/scnet_rows.py)
         return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
-                        **kw)
+                        scnet_impl="rows", **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
     if name == "edvr_pallas":

@@ -40,7 +40,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from fcvsr_tpu.ops.pallas_conv import (conv3x3_chw, nhwc_to_rows,
+    from fcvsr_tpu.ops.pallas_conv import (conv3x3_rows, pad_to_rows,
                                            prep_weight, rows_to_nhwc)
 
     rng = np.random.default_rng(0)
@@ -49,7 +49,6 @@ def main():
         return jnp.asarray(rng.uniform(-1, 1, shape), jnp.float32)
 
     h, w = 272, 480
-    wp = 512
     m = h * w
 
     def conv(x, k):
@@ -65,12 +64,12 @@ def main():
         flops = 2 * m * 9 * cin * cout
         bench[f"xla_{cin}_{cout}"] = (
             functools.partial(lambda v, k=k: conv(v, k)), x, flops)
-        rows = nhwc_to_rows(x, wp)
+        rows = pad_to_rows(x, args.tile_rows)
         wm = prep_weight(k, args.mode)
         bench[f"pal_{cin}_{cout}"] = (
             functools.partial(
-                lambda v, wm=wm: conv3x3_chw(
-                    v, wm, act=True, tile_rows=args.tile_rows,
+                lambda v, wm=wm: conv3x3_rows(
+                    v, wm, h=h, w=w, act=True, tile_rows=args.tile_rows,
                     mode=args.mode, interpret=interp)),
             rows, flops)
     x = arr(1, h, w, 64)
@@ -79,9 +78,9 @@ def main():
     bench["pal_64_64_rt"] = (
         functools.partial(
             lambda v, wm=wm: rows_to_nhwc(
-                conv3x3_chw(nhwc_to_rows(v, wp), wm, act=True,
-                            tile_rows=args.tile_rows, mode=args.mode,
-                            interpret=interp), w)),
+                conv3x3_rows(pad_to_rows(v, args.tile_rows), wm, h=h, w=w,
+                             act=True, tile_rows=args.tile_rows,
+                             mode=args.mode, interpret=interp), h, w)),
         x, 2 * m * 9 * 64 * 64)
 
     only = [s for s in args.only.split(",") if s]

@@ -301,13 +301,29 @@ class SCGroup(nn.Module):
 
 
 class SCNet(nn.Module):
-    """Stack of SCGroups with outer residual (CVSR_freq.py:807-822)."""
+    """Stack of SCGroups with outer residual (CVSR_freq.py:807-822).
+
+    ``impl='rows'`` serves the identical computation through the
+    chain-resident rows-layout Pallas conv kernel (models/scnet_rows.py):
+    bf16 MXU matmuls with width in lanes instead of XLA's half-occupied
+    C=64 NHWC convs.  Gradients stay exact-path (custom VJP re-runs the
+    NHWC backward).  Params are laid down by the normal path at init, so
+    both impls share one checkpoint format.
+    """
 
     nf: int
     num_groups: int = 10
+    impl: str = "xla"  # 'rows' = Pallas rows-layout serving kernel
 
     @nn.compact
     def __call__(self, x_list):
+        if self.impl == "rows" and not self.is_initializing():
+            from .scnet_rows import scnet_rows_diff
+
+            interpret = jax.default_backend() == "cpu"
+            return list(scnet_rows_diff(
+                self.variables["params"], tuple(x_list), self.nf,
+                self.num_groups, interpret))
         res = list(x_list)
         for i in range(self.num_groups):
             res = SCGroup(self.nf, name=f"group{i}")(res)

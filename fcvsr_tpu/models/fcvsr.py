@@ -216,6 +216,7 @@ class FCVSRNet(nn.Module):
     num_frames: int = 7
     use_remat: bool = False  # rematerialize MGAA/SCNet (trade FLOPs for HBM)
     warp_impl: str = "gather"  # 'pallas' = fused IAC kernel (ops/pallas_iac.py)
+    scnet_impl: str = "xla"  # 'rows' = Pallas rows-layout SCNet (scnet_rows.py)
     # Batch the two independent shared-weight MGAA calls (and MGAA's f/b
     # ConvBlks) along the batch axis.  CPU-exact; opt-in because the batch
     # axis is the data-sharded one under DP training and the old TPU
@@ -264,8 +265,8 @@ class FCVSRNet(nn.Module):
         dec1 = Conv2d(nf, 3, stride=2, name="rconcat1")(dec)
         dec2 = Conv2d(nf, 3, stride=2, name="rconcat2")(dec1)
         scnet_cls = nn.remat(SCNet) if self.use_remat else SCNet
-        l1, l2, l3 = scnet_cls(nf, self.sc_groups, name="recorb1")(
-            [dec, dec1, dec2])
+        l1, l2, l3 = scnet_cls(nf, self.sc_groups, impl=self.scnet_impl,
+                               name="recorb1")([dec, dec1, dec2])
 
         ks = self.up_ksize
         out_l3 = lrelu(Conv2d(nf, ks, name="upconv1_L3")(l3))

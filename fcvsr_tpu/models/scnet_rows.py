@@ -1,0 +1,193 @@
+"""Rows-layout (chain-resident Pallas) replay of SCNet for serving.
+
+SCNet is the largest block of FCVSR frame time (117 ms of 256 at 480x272)
+and is conv-bound at XLA's ~29 TFLOP/s C_out=64 NHWC rate
+(benchmarks/microbench_sol.py).  This module replays the exact SCNet
+computation (reference CVSR_freq.py:705-822; flax modules in
+models/blocks.py) over the *same parameter pytree* but with activations
+resident in the rows layout of ops/pallas_conv.py: every 3x3 conv is the
+fused Pallas kernel, 1x1 convs/softmax/resizes are XLA contractions with
+lanes = spatial width, and the layout's zero ring makes SAME padding free
+across the whole chain — one transpose in, one out per SCNet call.
+
+Numerics: 3x3 convs run single-pass bf16 with f32 accumulation — the same
+MXU precision XLA's default conv uses on TPU, so this matches the serving
+behaviour of the NHWC path on hardware (CPU goldens compare against a
+bf16-cast NHWC mirror).  The bilinear down/up matrices keep HIGHEST
+precision like ops/resize.py.
+
+Differentiability: `scnet_rows_diff` pairs this forward with the VJP of
+the NHWC `SCNet.apply` at the same primals (the ops/dcn.py custom-VJP
+pattern), so `conv_impl='pallas'` stays legal under `jax.grad`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas_conv import (COL_OFF, ROW_OFF, conv3x3_rows, pad_to_rows,
+                               prep_weight, rows_geometry, rows_to_nhwc)
+from ..ops.resize import _linear_weight_matrix
+
+__all__ = ["scnet_rows_apply", "scnet_rows_diff"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _k(p):
+    return p["Conv_0"]["kernel"]
+
+
+def _b(p):
+    return p["Conv_0"].get("bias")
+
+
+@functools.lru_cache(maxsize=None)
+def _embedded_resize(h, w, h2, w2, tile_rows, scale):
+    """(Hp2, Hp) and (Wp2, Wp) bilinear matrices embedded at the data
+    offsets — applying them re-establishes the zero ring on the target
+    geometry as a side effect."""
+    hp, wp = rows_geometry(h, w, tile_rows)
+    hp2, wp2 = rows_geometry(h2, w2, tile_rows)
+    wh = np.zeros((hp2, hp), np.float32)
+    wh[ROW_OFF : ROW_OFF + h2, ROW_OFF : ROW_OFF + h] = \
+        _linear_weight_matrix(h, h2, scale)
+    ww = np.zeros((wp2, wp), np.float32)
+    ww[COL_OFF : COL_OFF + w2, COL_OFF : COL_OFF + w] = \
+        _linear_weight_matrix(w, w2, scale)
+    return jnp.asarray(wh), jnp.asarray(ww)
+
+
+def _resize_rows(x, h, w, h2, w2, tile_rows, scale):
+    wh, ww = _embedded_resize(h, w, h2, w2, tile_rows, scale)
+    y = jnp.einsum("oh,bhcw->bocw", wh, x, precision=_HI)
+    return jnp.einsum("pw,bocw->bocp", ww, y, precision=_HI)
+
+
+def _conv1x1(x, kernel, bias=None):
+    y = jnp.einsum("co,bhcw->bhow", kernel[0, 0], x)
+    if bias is not None:
+        # pollutes the zero ring; callers always follow with a resize
+        # whose embedded matrices re-mask it
+        y = y + bias[None, None, :, None]
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _valid_mask(h, w, tile_rows):
+    hp, wp = rows_geometry(h, w, tile_rows)
+    m = np.zeros((hp, wp), np.float32)
+    m[ROW_OFF : ROW_OFF + h, COL_OFF : COL_OFF + w] = 1.0
+    return jnp.asarray(m)
+
+
+def _context_block(cp, x, h, w, tile_rows):
+    """ContextBlock (CVSR_freq.py:657-701) in rows layout: spatial softmax
+    over the valid region, channel-MLP on the pooled context."""
+    vm = _valid_mask(h, w, tile_rows)
+    logits = jnp.einsum("bhcw,c->bhw", x, _k(cp["conv_mask"])[0, 0, :, 0])
+    neg = jnp.finfo(logits.dtype).min
+    lm = jnp.where(vm[None] > 0, logits, neg)
+    lm = lm - jnp.max(lm, axis=(1, 2), keepdims=True)
+    e = jnp.exp(lm) * vm[None]
+    p = e / jnp.sum(e, axis=(1, 2), keepdims=True)
+    ctx = jnp.einsum("bhcw,bhw->bc", x, p)
+    t = ctx @ _k(cp["add0"])[0, 0]
+    t = jnp.where(t >= 0, t, 0.2 * t)
+    t = t @ _k(cp["add1"])[0, 0]
+    # the broadcast add pollutes the ring; re-mask
+    return (x + t[:, None, :, None]) * vm[None, :, None, :]
+
+
+def _rcb(rp, x, h, w, tile_rows, interpret):
+    res = conv3x3_rows(x, prep_weight(_k(rp["body0"])), None, h=h, w=w,
+                       act=True, neg_slope=0.2, tile_rows=tile_rows,
+                       interpret=interpret)
+    res = conv3x3_rows(res, prep_weight(_k(rp["body1"])), None, h=h, w=w,
+                       tile_rows=tile_rows, interpret=interpret)
+    res = _context_block(rp["gcnet"], res, h, w, tile_rows)
+    res = jnp.where(res >= 0, res, 0.2 * res)
+    return x + res
+
+
+def _block_rcb(bp, x_list, shapes, tile_rows, interpret):
+    """BlockRCB (CVSR_freq.py:729-777) over the [L1, L2, L3] pyramid."""
+
+    def body(x, hw):
+        h, w = hw
+        y = conv3x3_rows(x, prep_weight(_k(bp["body0"])), _b(bp["body0"]),
+                         h=h, w=w, act=True, neg_slope=0.1,
+                         tile_rows=tile_rows, interpret=interpret)
+        y = conv3x3_rows(y, prep_weight(_k(bp["body1"])), _b(bp["body1"]),
+                         h=h, w=w, tile_rows=tile_rows, interpret=interpret)
+        return _rcb(bp["rcb"], y, h, w, tile_rows, interpret)
+
+    res = [body(x, s) for x, s in zip(x_list, shapes)]
+    down = [res[0]]
+    for r, (h, w), (h2, w2) in zip(res[:-1], shapes[:-1], shapes[1:]):
+        d = _conv1x1(r, _k(bp["down"]), _b(bp["down"]))
+        down.append(_resize_rows(d, h, w, h2, w2, tile_rows, 2.0))
+    up = []
+    for r, (h, w), (h2, w2) in zip(res[1:], shapes[1:], shapes[:-1]):
+        u = _conv1x1(r, _k(bp["up"]), _b(bp["up"]))
+        up.append(_resize_rows(u, h, w, h2, w2, tile_rows, 0.5))
+    up.append(res[-1])
+    return [x + r + d + u for x, r, d, u in zip(x_list, res, down, up)]
+
+
+def scnet_rows_apply(params, x_list, num_groups: int = 10,
+                     tile_rows: int = 16, interpret: bool = False):
+    """Replay SCNet (models/blocks.py::SCNet) on its own param pytree.
+
+    params: the SCNet module's params subtree; x_list: NHWC [L1, L2, L3].
+    Returns NHWC outputs identical (at serving precision) to
+    ``SCNet.apply``.
+    """
+    shapes = [(int(x.shape[1]), int(x.shape[2])) for x in x_list]
+    xs = [pad_to_rows(x, tile_rows) for x in x_list]
+    res = list(xs)
+    for i in range(num_groups):
+        gp = params[f"group{i}"]
+        gin = list(res)
+        for j in range(3):
+            res = _block_rcb(gp[f"block{j}"], res, shapes, tile_rows,
+                             interpret)
+        wk = prep_weight(_k(gp["conv"]))
+        wb = _b(gp["conv"])
+        res = [x + conv3x3_rows(r, wk, wb, h=h, w=w, tile_rows=tile_rows,
+                                interpret=interpret)
+               for x, r, (h, w) in zip(gin, res, shapes)]
+    out = [x + r for x, r in zip(xs, res)]
+    return [rows_to_nhwc(y, h, w) for y, (h, w) in zip(out, shapes)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def scnet_rows_diff(params, x_list, nf, num_groups, interpret):
+    """Rows-layout forward with the exact NHWC-path VJP (exact-path
+    gradients; the backward re-runs the NHWC forward internally — the
+    training win is the primal forward only)."""
+    return tuple(scnet_rows_apply(params, x_list, num_groups,
+                                  interpret=interpret))
+
+
+def _diff_fwd(params, x_list, nf, num_groups, interpret):
+    out = scnet_rows_diff(params, x_list, nf, num_groups, interpret)
+    return out, (params, x_list)
+
+
+def _diff_bwd(nf, num_groups, interpret, res, g):
+    from .blocks import SCNet
+
+    params, x_list = res
+    mod = SCNet(nf, num_groups)
+    _, vjp = jax.vjp(
+        lambda p, xs: tuple(mod.apply({"params": p}, list(xs))),
+        params, tuple(x_list))
+    return vjp(tuple(g))
+
+
+scnet_rows_diff.defvjp(_diff_fwd, _diff_bwd)

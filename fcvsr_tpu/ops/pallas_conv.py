@@ -1,4 +1,4 @@
-"""Channels-as-M 3x3 conv kernel (Pallas) for the SCNet conv wall.
+"""Chain-resident rows-layout 3x3 conv kernel (Pallas) for SCNet.
 
 XLA's NHWC conv at C_out=64 runs ~29 TFLOP/s on this chip while the same
 conv at C_out=128 runs ~72 (benchmarks/microbench_sol.py): with channels in
@@ -8,23 +8,31 @@ FCVSR frame time (117 ms of 256 at 480x272, docs/PERFORMANCE.md) — is
 almost entirely such convs (reference CVSR_freq.py:705-822).
 
 This kernel transposes the problem instead of the data path: activations
-are carried as ``(H, C, W)`` (rows outermost, C in sublanes, W in lanes)
-and each output row is one MXU matmul
+are carried as ``(B, Hp, C, Wp)`` rows layout — rows outermost, C in
+sublanes, W in lanes — and each output row is built from three
+accumulating MXU matmuls
 
-    out_r (C_out, Wp) = W (C_out, 9*C_in) @ im2col_r (9*C_in, Wp)
+    out_r (C_out, Wp) += W_dy (C_out, 3*C_in) @ cat3_{r+dy} (3*C_in, Wp)
 
-so the lane dimension carries *spatial width* (Wp = 128-multiple, fully
-occupied) and C_out only sets the cheap M dimension.  The im2col block is
-built entirely in VMEM from three lane-rotated copies of the row window
-(the same ``pltpu.roll`` trick as ops/pallas_iac.py); nothing but the
-activations moves through HBM.  Matmuls run as single-pass bf16 with f32
-accumulation — the same precision XLA's default conv uses on this chip
-(CLAUDE.md round-2 notes).
+so the lane dimension carries *spatial width* (fully occupied) and C_out
+only sets the cheap M dimension.  The im2col block is one concat of three
+lane-rotated window copies (``pltpu.roll``, as in ops/pallas_iac.py);
+nothing but activations moves through HBM, and the window DMA is
+double-buffered across grid steps.  Matmuls run single-pass bf16 with f32
+accumulation — the same precision XLA's default conv uses on this chip.
 
-Layout contract: callers keep activations in CHW-row layout across a chain
-of calls (one transpose in, one out per SCNet, amortized over ~80 convs);
-`conv3x3_chw` also exposes NHWC round-trip helpers for standalone use and
-goldens.
+Layout contract (`rows geometry`): data rows live at ``[ROW_OFF,
+ROW_OFF+H)`` and data columns at ``[1, W+1)``; everything outside is zero
+and the kernel re-zeroes it on every call (row/col masks), so the zero
+padding ring a SAME conv needs is maintained *for free* across a chain of
+calls — a whole SCNet runs with one transpose in and one out.  Measured
+@272x480: 64->64 0.208 ms vs 0.295 XLA (in-chain the XLA alternative also
+pays two transposes; the kernel then wins every SCNet shape).
+
+Mosaic toolchain notes (found by bisection, round 3): pltpu.roll on bf16
+(16-sublane tiling) and reshapes merging the outer dim into sublanes both
+crash the terminal's compile helper — hence f32 rolls + cast-after, and
+the cat3 concat instead of a zero-copy merged-dims contraction.
 """
 
 from __future__ import annotations
@@ -34,11 +42,28 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["conv3x3_chw", "nhwc_to_rows", "rows_to_nhwc", "prep_weight"]
+__all__ = ["conv3x3_rows", "pad_to_rows", "rows_to_nhwc", "prep_weight",
+           "rows_geometry", "ROW_OFF"]
+
+ROW_OFF = 16        # zero rows above the data (one 16-row tile)
+COL_OFF = 1         # zero columns left of the data
+
+
+def rows_geometry(h: int, w: int, tile_rows: int = 16):
+    """(Hp, Wp) for a (H, W) feature map in rows layout.
+
+    Hp places the data at [ROW_OFF, ROW_OFF+h) with at least one zero halo
+    row below and keeps the last data tile's (t0 - 1) DMA base clampable
+    without a shift; Wp fits the data at [1, w+1) plus a zero halo column.
+    """
+    assert ROW_OFF % tile_rows == 0 or tile_rows <= ROW_OFF
+    hp = ((ROW_OFF + h - 1) // tile_rows + 2) * tile_rows
+    wp = -(-(w + 2) // 128) * 128
+    return hp, wp
 
 
 def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
-            act, neg_slope, mode, tiles, nb):
+            h, w, act, neg_slope, mode, tiles, nb):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -46,14 +71,16 @@ def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
     ti = pl.program_id(1)
     bi = pl.program_id(0)
     g = bi * tiles + ti                 # global sequential step
+    hp = tiles * th
 
     def dma(step, slot):
-        # rows [ti*th, ti*th + th + 2) of the zero-padded (Hp, C, Wp)
-        # source for that step
+        # window rows [t0-1, t0+th+1) (clamped; the clamp can only shift
+        # tiles whose outputs are fully row-masked, see rows_geometry)
         sb = step // tiles
         st = step - sb * tiles
+        base = jnp.clip(st * th - 1, 0, hp - (th + 2))
         return pltpu.make_async_copy(
-            src_hbm.at[sb, pl.ds(st * th, th + 2)], win.at[slot],
+            src_hbm.at[sb, pl.ds(base, th + 2)], win.at[slot],
             sems.at[slot])
 
     # double-buffered window pipeline: warm-up on the first step, then
@@ -67,42 +94,42 @@ def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
         dma(g + 1, (g + 1) % 2).start()
 
     wmat = w_ref[...].astype(jnp.bfloat16)
+    # valid-region mask: data cols [1, w+1) x data rows [ROW_OFF, ROW_OFF+h)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cout, wp), 1)
+    colmask = ((lane >= COL_OFF) & (lane < COL_OFF + w)).astype(jnp.float32)
+    t0 = ti * th
     dma(g, g % 2).wait()
 
-    # roll in f32 and cast after: pltpu.roll on bf16 (16-sublane tiling)
-    # crashes the Mosaic compile helper on this toolchain
+    # rolled[dx] lane l = input col l + (dx-1), so output col ow reads
+    # input cols ow-1..ow+1 — output columns stay aligned with input
+    # columns (the chain contract).  The wraparound lanes only ever land
+    # in the masked ring.  Roll in f32 and cast after: pltpu.roll on bf16
+    # (16-sublane tiling) crashes the Mosaic compile helper.
     full = win[g % 2]
-    rolled = [full.astype(jnp.bfloat16)]            # dx = 0
-    for dx in (1, 2):
-        rolled.append(
-            pltpu.roll(full, wp - dx, axis=2).astype(jnp.bfloat16))
+    rolled = [pltpu.roll(full, 1, axis=2).astype(jnp.bfloat16),   # dx = 0
+              full.astype(jnp.bfloat16),                          # dx = 1
+              pltpu.roll(full, wp - 1, axis=2).astype(jnp.bfloat16)]
 
     if mode == "cat9":
         # one big sublane-concat: rhs (th, 9c, wp); k = (dy*3+dx)*c+ci.
-        # Simple but VPU-copy-bound (benchmarks/microbench_conv2.py:
-        # the assembly costs ~4x the matmul stream).
+        # Simple but VPU-copy-bound (benchmarks/microbench_conv2.py: the
+        # assembly costs ~4x the matmul stream) — kept for A/B timing.
         slabs = [rolled[dx][dy : dy + th] for dy in range(3)
                  for dx in range(3)]
         rhs = jnp.concatenate(slabs, axis=1)
-        for r in range(th):
+    else:
+        # 'cat3': concat the three dx-rolls once (th+2, 3c, wp); per
+        # output row three accumulating K=3c matmuls indexed by dy through
+        # the outer row dim — no per-row copies.
+        cat = jnp.concatenate(rolled, axis=1)        # (th+2, 3c, wp)
+
+    for r in range(th):
+        if mode == "cat9":
             o = jax.lax.dot_general(
                 wmat, rhs[r],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (cout, wp)
-            o = o + b_ref[...]
-            if act:
-                o = jnp.where(o >= 0, o, neg_slope * o)
-            out_ref[0, r] = o
-    else:
-        # 'cat3': one small sublane-concat of the three dx-rolls
-        # (th+2, 3c, wp), then per output row three accumulating K=3c
-        # matmuls indexed by dy through the outer row dim — no per-row
-        # copies.  (A zero-copy 'direct' variant contracting
-        # rolled[dx][r:r+3] as merged (3, c) sublanes crashes the Mosaic
-        # compile helper — the merged outer+sublane reshape is not
-        # lowerable; the cat3 concat is 5x less copy traffic than cat9.)
-        cat = jnp.concatenate(rolled, axis=1)        # (th+2, 3c, wp)
-        for r in range(th):
+        else:
             o = None
             for dy in range(3):
                 d = jax.lax.dot_general(
@@ -110,10 +137,12 @@ def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 o = d if o is None else o + d
-            o = o + b_ref[...]
-            if act:
-                o = jnp.where(o >= 0, o, neg_slope * o)
-            out_ref[0, r] = o
+        o = o + b_ref[...]
+        if act:
+            o = jnp.where(o >= 0, o, neg_slope * o)
+        gr = t0 + r
+        rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
+        out_ref[0, r] = jnp.where(rowvalid, o * colmask, 0.0)
 
 
 def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:
@@ -130,39 +159,43 @@ def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:
     return jnp.transpose(weight, (0, 3, 1, 2)).reshape(3, cout, 3 * cin)
 
 
-def nhwc_to_rows(x: jnp.ndarray, wp: int) -> jnp.ndarray:
-    """(B, H, W, C) -> zero-padded (B, H+2, C, Wp) rows layout.
-
-    Data columns live at [1, W+1); column 0 and W+1 are the zero ring; the
-    remaining lanes up to Wp are slack (their outputs are sliced away).
-    """
+def pad_to_rows(x: jnp.ndarray, tile_rows: int = 16) -> jnp.ndarray:
+    """(B, H, W, C) NHWC -> rows layout (B, Hp, C, Wp), zeros outside the
+    data region (rows [ROW_OFF, ROW_OFF+H), cols [1, W+1))."""
     b, h, w, c = x.shape
+    hp, wp = rows_geometry(h, w, tile_rows)
     xt = jnp.transpose(x, (0, 1, 3, 2))            # (B, H, C, W)
-    return jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (1, wp - w - 1)))
+    return jnp.pad(xt, ((0, 0), (ROW_OFF, hp - ROW_OFF - h), (0, 0),
+                        (COL_OFF, wp - COL_OFF - w)))
 
 
-def rows_to_nhwc(y: jnp.ndarray, w: int) -> jnp.ndarray:
-    """(B, H, Cout, Wp) kernel output -> (B, H, W, Cout)."""
-    return jnp.transpose(y[..., :w], (0, 1, 3, 2))
+def rows_to_nhwc(y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Rows layout (B, Hp, C, Wp) -> (B, H, W, C)."""
+    return jnp.transpose(
+        y[:, ROW_OFF : ROW_OFF + h, :, COL_OFF : COL_OFF + w], (0, 1, 3, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("act", "neg_slope", "tile_rows",
-                                             "mode", "interpret"))
-def conv3x3_chw(x_rows, wmat, bias=None, act: bool = False,
-                neg_slope: float = 0.2, tile_rows: int = 0,
-                mode: str = "cat3", interpret: bool = False):
-    """3x3 SAME conv on rows-layout activations.
+@functools.partial(jax.jit, static_argnames=("h", "w", "act", "neg_slope",
+                                             "tile_rows", "mode",
+                                             "interpret"))
+def conv3x3_rows(x_rows, wmat, bias=None, *, h: int, w: int,
+                 act: bool = False, neg_slope: float = 0.2,
+                 tile_rows: int = 16, mode: str = "cat3",
+                 interpret: bool = False):
+    """3x3 SAME conv on rows-layout activations (chain-resident).
 
-    x_rows: (B, H+2, C, Wp) from :func:`nhwc_to_rows` (or a previous call's
-    output re-padded); wmat: from :func:`prep_weight` with the same
-    ``mode``; returns (B, H, Cout, Wp) with valid columns [1, W+1) matching
-    the input's data columns.  ``act`` fuses leaky_relu(neg_slope).
+    x_rows: (B, Hp, C, Wp) from :func:`pad_to_rows` or a previous call;
+    wmat: from :func:`prep_weight` (same ``mode``); h/w: the data-region
+    size.  Returns (B, Hp, Cout, Wp) in the same layout with the zero
+    ring re-established (so calls chain without repadding).  ``act``
+    fuses leaky_relu(neg_slope).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, hp, c, wp = x_rows.shape
-    h = hp - 2
+    assert (hp, wp) == rows_geometry(h, w, tile_rows), \
+        (hp, wp, rows_geometry(h, w, tile_rows))
     if mode == "cat9":
         cout = wmat.shape[0]
         assert wmat.shape[1] == 9 * c
@@ -173,17 +206,13 @@ def conv3x3_chw(x_rows, wmat, bias=None, act: bool = False,
         wspec = pl.BlockSpec((3, cout, 3 * c), lambda bi, ti: (0, 0, 0))
     assert wp % 128 == 0, wp
     assert c % 16 == 0, c       # bf16 sublane tile
-    if not tile_rows:
-        tile_rows = 16 if h % 16 == 0 else 8
-    if h % tile_rows:
-        raise ValueError(f"H={h} not divisible by tile_rows={tile_rows}")
-    tiles = h // tile_rows
+    tiles = hp // tile_rows
     bvec = jnp.zeros((cout, 1), jnp.float32) if bias is None \
         else bias.reshape(cout, 1).astype(jnp.float32)
 
     kern = functools.partial(_kernel, th=tile_rows, c=c, cout=cout, wp=wp,
-                             act=act, neg_slope=neg_slope, mode=mode,
-                             tiles=tiles, nb=b)
+                             h=h, w=w, act=act, neg_slope=neg_slope,
+                             mode=mode, tiles=tiles, nb=b)
     return pl.pallas_call(
         kern,
         grid=(b, tiles),
@@ -194,7 +223,7 @@ def conv3x3_chw(x_rows, wmat, bias=None, act: bool = False,
         ],
         out_specs=pl.BlockSpec((1, tile_rows, cout, wp),
                                lambda bi, ti: (bi, ti, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, cout, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp, cout, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, tile_rows + 2, c, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

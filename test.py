@@ -159,7 +159,7 @@ def main(argv=None):
         import dataclasses
 
         model = dataclasses.replace(model, warp_impl="pallas",
-                                    batch_mgaa=True)
+                                    batch_mgaa=True, scnet_impl="rows")
     x0 = jnp.zeros((1, 7, cfg.model.in_channels, 16, 16), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0)
 

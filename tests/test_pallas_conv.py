@@ -1,8 +1,8 @@
-"""CHW-layout Pallas conv3x3 goldens (interpret mode) vs lax.conv.
+"""Chain-resident rows-layout Pallas conv3x3 goldens (interpret mode).
 
 The kernel computes in single-pass bf16 with f32 accumulation — the same
 precision XLA's default NHWC conv uses on the TPU — so goldens compare
-against a bf16-cast XLA conv and use tolerances at bf16 resolution.
+against a bf16-cast XLA conv, plus an f32 sanity bound.
 """
 
 import jax
@@ -10,41 +10,44 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fcvsr_tpu.ops.pallas_conv import (conv3x3_chw, nhwc_to_rows,
-                                       prep_weight, rows_to_nhwc)
+from fcvsr_tpu.ops.pallas_conv import (ROW_OFF, conv3x3_rows, pad_to_rows,
+                                       prep_weight, rows_geometry,
+                                       rows_to_nhwc)
 
 RNG = np.random.default_rng(11)
 
 
-def _xla_conv(x, w, bias=None):
+def _xla_conv(x, w, bias=None, act=False):
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), "SAME",
-        dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        dimension_numbers=dn, preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
+    if act:
+        out = jnp.where(out >= 0, out, 0.2 * out)
     return out
 
 
-def _run(b=1, h=16, w=40, c=16, cout=16, bias=False, act=False, wp=128,
+def _run(b=1, h=16, w=40, c=16, cout=16, bias=False, act=False,
          tile_rows=8, mode="cat3"):
     x = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
     wgt = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, cout)), jnp.float32)
     bvec = jnp.asarray(0.1 * RNG.standard_normal((cout,)),
                        jnp.float32) if bias else None
-    ref = _xla_conv(x, wgt, bvec)
-    if act:
-        ref = jnp.where(ref >= 0, ref, 0.2 * ref)
-    rows = nhwc_to_rows(x, wp)
-    y = conv3x3_chw(rows, prep_weight(wgt, mode), bvec, act=act,
-                    tile_rows=tile_rows, mode=mode, interpret=True)
-    got = rows_to_nhwc(y, w)
+    ref = _xla_conv(x, wgt, bvec, act)
+    rows = pad_to_rows(x, tile_rows)
+    y = conv3x3_rows(rows, prep_weight(wgt, mode), bvec, h=h, w=w, act=act,
+                     tile_rows=tile_rows, mode=mode, interpret=True)
+    # the zero ring must be re-established everywhere outside the data
+    yz = np.asarray(y).copy()
+    yz[:, ROW_OFF : ROW_OFF + h, :, 1 : 1 + w] = 0.0
+    assert np.abs(yz).max() == 0.0
+    got = rows_to_nhwc(y, h, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
-    # and in f32 terms the bf16 kernel must stay within bf16 resolution
-    # of the true conv (guards against tap/edge miswiring that would pass
+    # f32 sanity bound (guards against tap/edge miswiring that would pass
     # a loose comparison against an equally-wrong reference)
     dn = jax.lax.conv_dimension_numbers(x.shape, wgt.shape,
                                         ("NHWC", "HWIO", "NHWC"))
@@ -76,14 +79,30 @@ def test_batch2_tiles():
     _run(b=2, h=32, w=100, tile_rows=16)
 
 
-def test_width_at_wp_edge():
-    # W + 2 close to Wp: the roll wraparound zone must stay out of the
-    # valid columns
-    _run(w=124, wp=128)
+def test_odd_height():
+    # H not a tile multiple: the boundary tile mixes data and masked rows
+    _run(h=23, w=30, tile_rows=8)
+
+
+def test_chain_two_convs():
+    """Two chained rows-layout convs equal two chained XLA convs — the
+    zero ring written by call 1 must be a correct halo for call 2."""
+    h, w, c = 24, 44, 16
+    x = jnp.asarray(RNG.standard_normal((1, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, c)), jnp.float32)
+    w2 = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, c)), jnp.float32)
+    ref = _xla_conv(_xla_conv(x, w1, act=True).astype(jnp.float32), w2)
+    y = conv3x3_rows(pad_to_rows(x, 8), prep_weight(w1), h=h, w=w,
+                     act=True, neg_slope=0.2, tile_rows=8, interpret=True)
+    y = conv3x3_rows(y, prep_weight(w2), h=h, w=w, tile_rows=8,
+                     interpret=True)
+    got = rows_to_nhwc(y, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
 
 
 def test_edges_zero_padding():
-    """Border semantics: a one-hot input at a corner must spread exactly
+    """Border semantics: one-hot inputs at corners must spread exactly
     like SAME zero padding."""
     h, w, c = 8, 24, 16
     x = np.zeros((1, h, w, c), np.float32)
@@ -92,8 +111,19 @@ def test_edges_zero_padding():
     x = jnp.asarray(x)
     wgt = jnp.asarray(RNG.standard_normal((3, 3, c, c)), jnp.float32)
     ref = _xla_conv(x, wgt)
-    y = conv3x3_chw(nhwc_to_rows(x, 128), prep_weight(wgt), tile_rows=8,
-                    interpret=True)
-    got = rows_to_nhwc(y, w)
+    y = conv3x3_rows(pad_to_rows(x, 8), prep_weight(wgt), h=h, w=w,
+                     tile_rows=8, interpret=True)
+    got = rows_to_nhwc(y, h, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_geometry_last_data_tile_unclamped():
+    """rows_geometry must leave the last data tile's DMA base unclamped
+    (a clamp there would silently shift the window)."""
+    for h in (16, 23, 68, 136, 272, 271):
+        for th in (8, 16):
+            hp, _ = rows_geometry(h, 30, th)
+            t0_last_data = ((ROW_OFF + h - 1) // th) * th
+            assert t0_last_data - 1 <= hp - (th + 2), (h, th)
+            assert hp % th == 0 and hp >= ROW_OFF + h + 1
