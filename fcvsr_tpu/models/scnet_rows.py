@@ -59,7 +59,9 @@ def _embedded_resize(h, w, h2, w2, tile_rows, scale):
     ww = np.zeros((wp2, wp), np.float32)
     ww[COL_OFF : COL_OFF + w2, COL_OFF : COL_OFF + w] = \
         _linear_weight_matrix(w, w2, scale)
-    return jnp.asarray(wh), jnp.asarray(ww)
+    # numpy, NOT jnp: caching a traced constant would leak the tracer into
+    # later traces (custom_vjp re-traces under a fresh DynamicJaxprTrace)
+    return wh, ww
 
 
 def _resize_rows(x, h, w, h2, w2, tile_rows, scale):
@@ -82,7 +84,7 @@ def _valid_mask(h, w, tile_rows):
     hp, wp = rows_geometry(h, w, tile_rows)
     m = np.zeros((hp, wp), np.float32)
     m[ROW_OFF : ROW_OFF + h, COL_OFF : COL_OFF + w] = 1.0
-    return jnp.asarray(m)
+    return m  # numpy (see _embedded_resize: cached jnp constants leak tracers)
 
 
 def _context_block(cp, x, h, w, tile_rows):

@@ -80,6 +80,25 @@ def test_scnet_impl_rows_module_route():
         assert np.abs(g - r).max() < 5e-2 * np.abs(r).max()
 
 
+def test_scnet_rows_jit_retrace():
+    """Regression: cached layout constants must be numpy, not jnp — a
+    jnp constant created inside one trace and lru_cached leaks its tracer
+    into every later trace (seen on TPU as UnexpectedTracerError from the
+    custom_vjp fwd; two successive jits reproduce it on CPU)."""
+    nf, groups = 16, 1
+    xs = _pyramid(1, 8, 12, nf)
+    mod_r = SCNet(nf, groups, impl="rows")
+    params = mod_r.init(jax.random.PRNGKey(11), xs)["params"]
+    f1 = jax.jit(lambda p, t: mod_r.apply({"params": p}, list(t)))
+    out1 = f1(params, tuple(xs))
+    f2 = jax.jit(
+        lambda p, t: sum(jnp.sum(o) for o in mod_r.apply({"params": p},
+                                                         list(t))))
+    val = np.asarray(f2(params, tuple(xs)))
+    assert np.isfinite(val)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out1)
+
+
 def test_scnet_rows_grad_exact():
     """jax.grad through impl='rows' equals the NHWC path's gradients to
     f32 round-off (the custom VJP reruns the exact NHWC backward)."""
