@@ -1,0 +1,197 @@
+"""MGAA component breakdown at the full bench shape (272x480, d=64, ac=6).
+
+After the fused IAC (ops/pallas_iac.py) the chain is ~13.7 ms of an
+~34 ms MGAA call; this times each remaining head component standalone so
+the next fusion target is measured, not guessed:
+
+- mgaa_full / mgaa_b2 : the whole module (B=1 / B=2 batched directions)
+- iac6                : one 6-iteration fused IAC chain (one direction)
+- predictor           : conv_KP + F0 + F1[out_select] kernel predictor
+- rfft192             : batched rfft_features over the 3 packed groups
+- irfft48             : the batched gated-spectra irfft
+- corr                : corr_lookup (radius 4) on the spectral pair
+- fuse1x1             : one convfuse chain (256->128->128->128 1x1s)
+- convblks            : the 12 gated ConvBlk spectra (k = 1,3,..,11 on
+                        4-channel maps — MXU-hostile tiny-channel convs)
+- conv3               : the 128->64 3x3 output fuse
+
+Usage: python benchmarks/microbench_mgaa.py [--cpu] [--iters 20] [--only a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from fcvsr_tpu.models.blocks import Conv2d, ConvBlk
+    from fcvsr_tpu.models.fcvsr import MGAA
+    from fcvsr_tpu.ops.corr import corr_lookup
+    from fcvsr_tpu.ops.freq import irfft_features, rfft_features
+    from fcvsr_tpu.ops.sac import iac
+
+    h, w, d, ac = 272, 480, 64, 6
+    wf = w // 2 + 1
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, shape), jnp.float32)
+
+    bench = {}  # name -> zero-arg setup returning (fn, input)
+
+    # ---- full module ----
+    x3 = arr(1, h, w, 3 * d)
+
+    def setup_mgaa(batch):
+        mgaa = MGAA(dim=d, ac_num=ac, warp_impl="pallas", batch_fb=True)
+        p_mgaa = mgaa.init(jax.random.PRNGKey(0), x3)
+        v = x3 if batch == 1 else arr(batch, h, w, 3 * d)
+        return (lambda u: mgaa.apply(p_mgaa, u)), v
+
+    bench["mgaa_full"] = lambda: setup_mgaa(1)
+    bench["mgaa_b2"] = lambda: setup_mgaa(2)
+
+    # ---- fused IAC chain, one direction ----
+    feat = arr(1, h, w, d)
+    pred_k = arr(1, h, w, ac * 3 * d)
+    offs = jnp.asarray(rng.uniform(-3, 3, (ac, 1, h, w, 2)), jnp.float32)
+    bench["iac6"] = lambda: (
+        lambda v: iac(v, pred_k, offs, ac, d, 3, kernel1_both=True,
+                      k1_only=True, warp_impl="pallas", k_tap_major=True),
+        feat)
+
+    # ---- kernel predictor (KP -> F0 -> F1 with out_select) ----
+    class Pred(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            f_kp = Conv2d(d, 3, name="conv_KP")(x)
+            f0 = Conv2d(d, 3, name="F0")(f_kp)
+            half = d * 3
+            sel = tuple(i * 2 * half + c * 3 + t
+                        for i in range(ac) for t in range(3)
+                        for c in range(d))
+            return Conv2d(ac * half * 2, 1, name="F1", out_select=sel)(f0)
+
+    def setup_pred():
+        pred = Pred()
+        p_pred = pred.init(jax.random.PRNGKey(1), feat)
+        return (lambda v: pred.apply(p_pred, v)), feat
+
+    bench["predictor"] = setup_pred
+
+    # ---- spectral pieces ----
+    bench["rfft192"] = lambda: ((lambda v: rfft_features(v)), x3)
+    packed = arr(1, h, wf, 2 * ac * 2 * 2)
+    bench["irfft48"] = lambda: ((lambda v: irfft_features(v, h, w)), packed)
+    fa, fb = arr(1, h, wf, 2 * d), arr(1, h, wf, 2 * d)
+    bench["corr"] = lambda: ((lambda v: corr_lookup(v, fb, 4)), fa)
+
+    class Fuse(nn.Module):
+        @nn.compact
+        def __call__(self, y):
+            y = nn.relu(Conv2d(2 * d, 1, use_bias=False, name="f0")(y))
+            y = nn.relu(Conv2d(2 * d, 1, use_bias=False, name="f1")(y))
+            return Conv2d(2 * d, 1, use_bias=False, name="f2")(y)
+
+    def setup_fuse():
+        fuse = Fuse()
+        cat = arr(1, h, wf, 4 * d)
+        p_fuse = fuse.init(jax.random.PRNGKey(2), cat)
+        return (lambda v: fuse.apply(p_fuse, v)), cat
+
+    bench["fuse1x1"] = setup_fuse
+
+    class Blks(nn.Module):
+        """The 12 gated ConvBlk spectra, chained so DCE can't drop any."""
+        @nn.compact
+        def __call__(self, off_f, off_b, sim):
+            acc = None
+            for i in range(ac):
+                blk = ConvBlk(4, index=i, name=f"mconv{i}")
+                gf = blk(off_f) * sim
+                gb = blk(off_b) * sim
+                acc = gf + gb if acc is None else acc + gf + gb
+            return acc
+
+    def setup_blks():
+        blks = Blks()
+        off_f, off_b, sim = (arr(1, h, wf, 4), arr(1, h, wf, 4),
+                             arr(1, h, wf, 4))
+        p_blks = blks.init(jax.random.PRNGKey(3), off_f, off_b, sim)
+        return (lambda v: blks.apply(p_blks, v, off_b, sim)), off_f
+
+    bench["convblks"] = setup_blks
+
+    def setup_conv3():
+        conv3 = Conv2d(d, 3, use_bias=False)
+        cat2 = arr(1, h, w, 2 * d)
+        p_c3 = conv3.init(jax.random.PRNGKey(4), cat2)
+        return (lambda v: conv3.apply(p_c3, v)), cat2
+
+    bench["conv3"] = setup_conv3
+
+    only = [s for s in args.only.split(",") if s]
+    n = args.iters
+    out = {}
+    for name, setup in bench.items():
+        if only and name not in only:
+            continue
+        fn, inp = setup()
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def run_n(v, k, fn=fn):
+            def body(i, acc):
+                return acc + jnp.mean(fn(v * (1.0 + 1e-6 * i)))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        try:
+            t0 = time.perf_counter()
+            np.asarray(run_n(inp, 1))
+            compile_s = time.perf_counter() - t0
+            np.asarray(run_n(inp, n))
+
+            def timed(k):
+                t0 = time.perf_counter()
+                val = np.asarray(run_n(inp, k))
+                assert np.isfinite(val)
+                return time.perf_counter() - t0
+
+            base = min(timed(1) for _ in range(2))
+            total = min(timed(n) for _ in range(2))
+            ms = (total - base) / (n - 1) * 1e3
+            out[name] = round(ms, 3)
+            print(f"{name:12s} {ms:9.3f} ms   (compile {compile_s:.1f}s)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:12s} FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            out[name] = None
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

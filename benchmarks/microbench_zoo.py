@@ -56,12 +56,24 @@ def main():
     out = {}
     for key, (model, shape, frames_per_fwd) in cases.items():
         x = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), x)
+        params = None
         for impl in ("gather", "pallas"):
             name = f"{key}_{impl}"
             if only and name not in only:
                 continue
             set_dcn_impl(impl)
+            if params is None:
+                # init under the CURRENT impl: the gather DCN's
+                # take_along_axis temps OOM 16G HBM at the BasicVSR++
+                # shape, so init itself must be guarded per-impl (the
+                # param tree is impl-independent).
+                try:
+                    params = model.init(jax.random.PRNGKey(0), x)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name:14s} FAILED(init) "
+                          f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+                    out[name] = None
+                    continue
 
             def fwd(p, v, model=model):
                 y = model.apply(p, v)

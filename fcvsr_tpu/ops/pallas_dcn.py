@@ -34,6 +34,23 @@ import jax.numpy as jnp
 
 __all__ = ["modulated_deform_conv2d_fused"]
 
+# Mosaic scoped-VMEM capacity is 128M; the kernel's unrolled tap/stencil
+# temporaries measure ~256*th*C*Wp bytes (calibrated on hardware: th=16,
+# C=128, Wp=384 compiled to 202.1M — BasicVSR++'s deform_align OOM'd
+# where EDVR's C=64 fit), plus the 2-level-buffered offset/mask blocks.
+_VMEM_BUDGET = 112 * 1024 * 1024
+
+
+def _pick_tile_rows(c, w, dg, hp8, radius):
+    """Largest tile height whose kernel VMEM estimate fits the budget;
+    0 when even 4-row tiles cannot fit (caller falls back to gather)."""
+    wp = ((w + 2 * (radius + 15) + 127) // 128) * 128
+    for th in (16, 8, 4):
+        if hp8 % th == 0 and 256 * th * c * wp + 216 * th * dg * w \
+                <= _VMEM_BUDGET:
+            return th
+    return 0
+
 
 def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
             radius, th, h, w, c, cout, pad_v, pad_l, bmax_x, wp, has_mask,
@@ -227,22 +244,32 @@ def modulated_deform_conv2d_fused(
     supported = (kh == 3 and kw == 3 and stride == 1 and padding == 1
                  and dilation == 1 and groups == 1
                  and c % deform_groups == 0 and c % 8 == 0)
-    if not supported:
+    cg = c // deform_groups
+    hp8 = -(-h // 8) * 8
+    # cg (= C/dg) that is not a sublane multiple (BasicVSR++: dg=16 ->
+    # cg=4) forces the per-channel expansion below (dg'=C), whose offset
+    # blocks are cg x larger — cap its tiles at 4 rows.
+    expand_dg = cg % 8 != 0 and cg > 1
+    eff_dg = c if expand_dg else deform_groups
+    if not tile_rows:
+        tile_rows = _pick_tile_rows(c, w, eff_dg, hp8, radius)
+        if expand_dg:
+            tile_rows = min(tile_rows, 4)
+    if not supported or not tile_rows:
         # call the gather body directly (the public entry would re-route
-        # here under set_dcn_impl('pallas') — infinite recursion)
+        # here under set_dcn_impl('pallas') — infinite recursion);
+        # tile_rows == 0 means even 4-row tiles exceed the VMEM budget
         from .dcn import _gather_forward
 
         return _gather_forward(
             x, offset, mask, weight, bias, stride, padding, dilation,
             groups, deform_groups)
-    # cg (= C/dg) that is not a sublane multiple (BasicVSR++: dg=16 ->
-    # cg=4): the in-kernel group->channel repeat cannot share buffers
-    # across the unrolled taps and blows VMEM, so expand the offsets/mask
-    # to PER-CHANNEL groups outside the kernel instead (dg'=C, cg'=1 —
-    # expand() becomes the identity).  Costs C/dg x offset DMA bytes,
-    # still orders of magnitude under the gather path.
-    cg = c // deform_groups
-    if cg % 8 and cg > 1:
+    if expand_dg:
+        # the in-kernel group->channel repeat cannot share buffers across
+        # the unrolled taps and blows VMEM, so expand the offsets/mask to
+        # PER-CHANNEL groups outside the kernel instead (dg'=C, cg'=1 —
+        # expand() becomes the identity).  Costs C/dg x offset DMA bytes,
+        # still orders of magnitude under the gather path.
         k9 = 9
         off6 = offset.reshape(b, h, w, deform_groups, k9, 2)
         offset = jnp.repeat(off6, cg, axis=3).reshape(b, h, w, c * k9 * 2)
@@ -250,21 +277,16 @@ def modulated_deform_conv2d_fused(
             m5 = mask.reshape(b, h, w, deform_groups, k9)
             mask = jnp.repeat(m5, cg, axis=3).reshape(b, h, w, c * k9)
         deform_groups = c
-        if not tile_rows:
-            tile_rows = 4  # per-channel offset blocks are C/dg x larger
     # non-multiple-of-8 heights (EDVR pyramid levels 92/46): zero-pad rows
     # to the tile grid and slice the extra output rows away.  The padded
     # rows' zero offsets only dilute the last tile's mean base — the same
     # bounded-deviation contract class.
-    hp8 = -(-h // 8) * 8
     if hp8 != h:
         rp = hp8 - h
         x = jnp.pad(x, ((0, 0), (0, rp), (0, 0), (0, 0)))
         offset = jnp.pad(offset, ((0, 0), (0, rp), (0, 0), (0, 0)))
         if mask is not None:
             mask = jnp.pad(mask, ((0, 0), (0, rp), (0, 0), (0, 0)))
-    if not tile_rows:
-        tile_rows = 16 if hp8 % 16 == 0 else 8
     fn = _fused_vmappable(radius, tile_rows, deform_groups,
                           mask is not None, interpret)
     out = fn(x, offset,

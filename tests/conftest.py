@@ -21,3 +21,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_global_impls():
+    """Process-global impl switches (set_dcn_impl via test.py/train.py
+    --fast paths) must not leak between tests: a polluted 'pallas' default
+    makes the exact-path DCN goldens compare fused-vs-torch and fail on
+    bounded deviation."""
+    yield
+    from fcvsr_tpu.ops import dcn
+
+    dcn.set_dcn_impl("gather")
