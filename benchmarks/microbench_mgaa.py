@@ -74,6 +74,31 @@ def main():
     bench["mgaa_full"] = lambda: setup_mgaa(1)
     bench["mgaa_b2"] = lambda: setup_mgaa(2)
 
+    def setup_noiac():
+        """The full module with iac() monkeypatched to identity: measures
+        the spectral/predictor head INCLUDING all concat/slice glue (the
+        standalone component timings miss the copies XLA emits for
+        concats)."""
+        from fcvsr_tpu.models import fcvsr as fcvsr_mod
+
+        orig = fcvsr_mod.iac
+        fcvsr_mod.iac = (lambda feat_in, *a, **kw: feat_in)
+        try:
+            mgaa = MGAA(dim=d, ac_num=ac, warp_impl="pallas", batch_fb=True)
+            p = mgaa.init(jax.random.PRNGKey(0), x3)
+
+            def fn(u):
+                fcvsr_mod.iac = (lambda feat_in, *a, **kw: feat_in)
+                try:
+                    return mgaa.apply(p, u)
+                finally:
+                    fcvsr_mod.iac = orig
+        finally:
+            fcvsr_mod.iac = orig
+        return fn, x3
+
+    bench["mgaa_noiac"] = setup_noiac
+
     # ---- fused IAC chain, one direction ----
     feat = arr(1, h, w, d)
     pred_k = arr(1, h, w, ac * 3 * d)

@@ -13,26 +13,40 @@ This kernel processes a row tile per program and keeps everything in VMEM:
   stay exact; per-pixel deviations from the base are representable up to
   ``radius`` pixels (beyond that they clamp — the XLA gather path remains
   the bit-exact fallback for unbounded flows, ``ops.sac.iac``).
-* zero padding (reference grid_sample semantics) comes from a host-side
-  zero ring; SAC's replicate borders from first/last-row duplication inside
-  the kernel; both SAC passes use kernel1 (the reference bug — the fused
-  path only implements the shipped kernel1-both behaviour).
+* zero padding (reference grid_sample semantics) comes from the zero ring
+  of the padded rows layout; SAC's replicate borders from first/last-row
+  duplication inside the kernel; both SAC passes use kernel1 (the
+  reference bug — the fused path only implements the shipped
+  kernel1-both behaviour).
 * kernels arrive tap-major ((tap, c) channel layout) so in-kernel tap slices
-  are contiguous lanes (MGAA's predictor emits this layout directly via
+  are contiguous (MGAA's predictor emits this layout directly via
   ``out_select`` — a free permutation of conv output channels).
 
-Grid = (batch, row-tiles); all stencil slices are static; only the window
-DMA start is dynamic.
+**Rows-resident chaining** (round 3): the kernel consumes AND produces the
+padded rows layout ``(B, Hp, C, Wp)`` — C in sublanes, W in lanes, a zero
+ring giving both the warp's zero padding and SAME-style geometry for free.
+A chained call (``iac_fused``) therefore pays ONE NHWC->rows transpose on
+entry and one rows->NHWC on exit instead of a pad+transpose per iteration
+(measured 1.65 ms/iteration chained vs 1.14 standalone before the rework —
+the glue was ~1/3 of chained cost).  The grid covers the padded rows too:
+tiles fully inside the vertical ring just rewrite zeros, keeping the output
+a valid warp source for the next iteration.  SAC runs natively in
+(rows, C, W) — vertical taps are row shifts, horizontal taps are lane
+shifts — which also removes the old in-kernel (rows,C,W)->(rows,W,C)
+transpose; predicted kernels are pre-transposed ONCE per chain to
+``(B, H, AC*3C, W)`` and block-sliced per iteration inside the BlockSpec
+(no per-iteration copies).
+
+Grid = (batch, padded-row-tiles); all stencil slices are static; only the
+window DMA start is dynamic.
 
 Status (round 3): RUNS ON HARDWARE.  The terminal upgrade unblocked Mosaic
 compiles; three real-lowering constraints interpret mode never surfaced
 were fixed (tile-aligned ref slices -> pre-tiled flow halo blocks;
-128-multiple lane dims on manual-DMA arrays -> source pre-transposed to
-(B, Hp, C, Wp) with full-width row DMAs + a dynamic lane rotate for the
-horizontal base; scoped-VMEM 16M default -> CompilerParams).  Measured at
-272x480x64: 1.14 ms per fused iteration (16-row tiles) vs 2.30 ms for the
-XLA gather path; golden on-device max dev 3.0e-5.  Golden tests run in
-interpret mode on CPU (tests/test_pallas_iac.py).
+128-multiple lane dims on manual-DMA arrays -> rows layout with full-width
+row DMAs + a dynamic lane rotate for the horizontal base; scoped-VMEM 16M
+default -> CompilerParams).  Golden tests run in interpret mode on CPU
+(tests/test_pallas_iac.py).
 """
 
 from __future__ import annotations
@@ -45,8 +59,35 @@ import jax.numpy as jnp
 __all__ = ["iac_fused", "warp_sac_fused"]
 
 
-def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius, th,
-            h, w, c, pad_v, pad_l, bmax_x, wp, act, tiles):
+def _geometry(h, w, radius):
+    """Padded rows-layout geometry shared by every call in a chain."""
+    pad_v = radius + 14  # covers |tile-mean vertical flow| up to 13px
+    # Horizontal: the window DMA moves full-width rows (a column slice of
+    # an HBM ref cannot be lane-aligned for arbitrary bases), so Wp must be
+    # a lane multiple; spare width becomes extra horizontal base coverage.
+    wp = ((w + 2 * (radius + 14) + 127) // 128) * 128
+    extra = wp - w - 2 * (radius + 14)
+    pad_l = radius + 14 + extra // 2
+    pad_r = wp - w - pad_l
+    bmax_x = min(pad_l, pad_r) - radius - 1
+    return pad_v, pad_l, pad_r, wp, bmax_x
+
+
+def _to_rows(feat, pad_v, pad_l, pad_r):
+    """(B, H, W, C) -> padded rows layout (B, Hp, C, Wp)."""
+    return jnp.transpose(
+        jnp.pad(feat, ((0, 0), (pad_v, pad_v), (pad_l, pad_r), (0, 0))),
+        (0, 1, 3, 2))
+
+
+def _from_rows(rows, h, w, pad_v, pad_l):
+    """(B, Hp, C, Wp) -> (B, H, W, C)."""
+    return jnp.transpose(
+        rows[:, pad_v : pad_v + h, :, pad_l : pad_l + w], (0, 1, 3, 2))
+
+
+def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
+            th, h, w, c, pad_v, pad_l, bmax_x, wp, act, tiles):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -55,100 +96,119 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius, th,
     wh = th + 2                       # warped rows incl. SAC halo
     wrows = wh + 2 * r + 1            # source window rows
     bmax_y = pad_v - r - 1            # max |base_y| the padded source covers
+    pvt = pad_v // th                 # tiles inside the vertical ring
 
     bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    t0 = ti * th
+    tip = pl.program_id(1)            # tile index over PADDED rows
+    ti = tip - pvt                    # data-tile index (may be outside)
+    is_data = jnp.logical_and(ti >= 0, ti < tiles)
+    t0 = jnp.clip(ti, 0, tiles - 1) * th
     fr0 = jnp.clip(t0 - 1, 0, h - wh)  # first warped (absolute) row
     m0 = t0 - fr0                      # tile row offset inside warped rows
 
     def body(win, sem_w):
-        # ---- flow rows [fr0, fr0+wh): pre-tiled halo blocks ----
-        # Mosaic requires tile-aligned slices on the tiled dims of a ref,
-        # so the overlapping halo rows are assembled OUTSIDE the kernel
-        # (flow is (H, W, 2) — tiny) and pipelined in as ordinary
-        # (1, 1, wh, w) blocks, one per (batch, tile).
-        fx = fxt_ref[0, 0]
-        fy = fyt_ref[0, 0]
+        @pl.when(jnp.logical_not(is_data))
+        def _ring():
+            # vertical zero ring: keeps the output a valid warp source
+            out_ref[0] = jnp.zeros((th, c, wp), jnp.float32)
 
-        # ---- per-tile base offsets ----
-        base_y = jnp.clip(jnp.round(jnp.mean(fy)), -bmax_y,
-                          bmax_y).astype(jnp.int32)
-        base_x = jnp.clip(jnp.round(jnp.mean(fx)), -bmax_x,
-                          bmax_x).astype(jnp.int32)
+        @pl.when(is_data)
+        def _data():
+            # ---- flow rows [fr0, fr0+wh): pre-tiled halo blocks ----
+            # Mosaic requires tile-aligned slices on the tiled dims of a
+            # ref, so the overlapping halo rows are assembled OUTSIDE the
+            # kernel (flow is (H, W, 2) — tiny) and pipelined in as
+            # ordinary (1, 1, wh, w) blocks, one per (batch, tile).
+            fx = fxt_ref[0, 0]
+            fy = fyt_ref[0, 0]
 
-        # ---- window DMA: FULL-width rows [fr0+base_y-r, +wrows) ----
-        # The source is pre-transposed to (B, Hp, C, Wp): the sliced row dim
-        # sits outside the tiled (sublane=C, lane=Wp) pair, so a dynamic
-        # offset is legal, and the untouched dims satisfy Mosaic's
-        # alignment check by construction (C % 8 == 0, Wp % 128 == 0).
-        # The horizontal base shift is applied in-VMEM with a dynamic lane
-        # rotate below instead of a (misaligned) column slice.
-        row0 = fr0 + base_y - r + pad_v
-        cp = pltpu.make_async_copy(src_hbm.at[bi, pl.ds(row0, wrows)],
-                                   win, sem_w)
-        cp.start()
+            # ---- per-tile base offsets ----
+            base_y = jnp.clip(jnp.round(jnp.mean(fy)), -bmax_y,
+                              bmax_y).astype(jnp.int32)
+            base_x = jnp.clip(jnp.round(jnp.mean(fx)), -bmax_x,
+                              bmax_x).astype(jnp.int32)
 
-        # ---- stencil weights (independent of the window) ----
-        nx = 2 * r + 2
-        eps = 1e-4
-        a = jnp.clip(fy - base_y.astype(fy.dtype) + r, 0.0, nx - 1 - eps)
-        b = jnp.clip(fx - base_x.astype(fx.dtype) + r, 0.0, nx - 1 - eps)
-        y0 = jnp.floor(a)
-        x0 = jnp.floor(b)
-        fyf = a - y0
-        fxf = b - x0
+            # ---- window DMA: FULL-width rows [fr0+base_y-r, +wrows) ----
+            # The source rows layout keeps the sliced row dim outside the
+            # tiled (sublane=C, lane=Wp) pair, so a dynamic offset is
+            # legal, and the untouched dims satisfy Mosaic's alignment
+            # check by construction (C % 8 == 0, Wp % 128 == 0).  The
+            # horizontal base shift is applied in-VMEM with a dynamic lane
+            # rotate below instead of a (misaligned) column slice.
+            row0 = fr0 + base_y - r + pad_v
+            cp = pltpu.make_async_copy(src_hbm.at[bi, pl.ds(row0, wrows)],
+                                       win, sem_w)
+            cp.start()
 
-        cp.wait()
+            # ---- stencil weights (independent of the window) ----
+            nx = 2 * r + 2
+            eps = 1e-4
+            a = jnp.clip(fy - base_y.astype(fy.dtype) + r, 0.0,
+                         nx - 1 - eps)
+            b = jnp.clip(fx - base_x.astype(fx.dtype) + r, 0.0,
+                         nx - 1 - eps)
+            y0 = jnp.floor(a)
+            x0 = jnp.floor(b)
+            fyf = a - y0
+            fxf = b - x0
 
-        # ---- align window columns: rotate lanes so col (base_x - r + pad_l)
-        # lands on lane 0; taps then use static slices.  No wraparound reads:
-        # max used lane = (w-1) + (nx-1) + col0_max < wp by padding choice.
-        col0 = base_x - r + pad_l
-        rolled = pltpu.roll(win[...], wp - col0, axis=2)
+            cp.wait()
 
-        # ---- separable bilinear stencil: (2r+2)^2 static shifted fmas ----
-        # accumulated in the source's (rows, C, W) layout, transposed once
-        # for the SAC passes.
-        warped_t = jnp.zeros((wh, c, w), jnp.float32)
-        wy = []
-        wx = []
-        for e in range(nx):
-            wy.append(jnp.where(y0 == e, 1.0 - fyf, 0.0)
-                      + jnp.where(y0 == e - 1, fyf, 0.0))
-            wx.append(jnp.where(x0 == e, 1.0 - fxf, 0.0)
-                      + jnp.where(x0 == e - 1, fxf, 0.0))
-        for e in range(nx):
-            for f in range(nx):
-                wgt = wy[e] * wx[f]
-                warped_t = warped_t + wgt[:, None, :] * \
-                    rolled[e : e + wh, :, f : f + w]
-        warped = jnp.swapaxes(warped_t, 1, 2)  # (wh, w, c)
+            # ---- align window columns: rotate lanes so col
+            # (base_x - r + pad_l) lands on lane 0; taps then use static
+            # slices.  No wraparound reads: max used lane =
+            # (w-1) + (nx-1) + col0_max < wp by padding choice.
+            col0 = base_x - r + pad_l
+            rolled = pltpu.roll(win[...], wp - col0, axis=2)
 
-        # ---- SAC (kernel1 both passes), replicate borders ----
-        wpad = jnp.concatenate([warped[0:1], warped, warped[wh - 1 : wh]], 0)
-        kts = [k_ref[0, :, :, tap * c : (tap + 1) * c] for tap in range(3)]
+            # ---- separable bilinear stencil: (2r+2)^2 static shifted
+            # fmas, accumulated directly in the rows (rows, C, W) layout
+            warped = jnp.zeros((wh, c, w), jnp.float32)
+            wy = []
+            wx = []
+            for e in range(nx):
+                wy.append(jnp.where(y0 == e, 1.0 - fyf, 0.0)
+                          + jnp.where(y0 == e - 1, fyf, 0.0))
+                wx.append(jnp.where(x0 == e, 1.0 - fxf, 0.0)
+                          + jnp.where(x0 == e - 1, fxf, 0.0))
+            for e in range(nx):
+                for f in range(nx):
+                    wgt = wy[e] * wx[f]
+                    warped = warped + wgt[:, None, :] * \
+                        rolled[e : e + wh, :, f : f + w]
 
-        # m0 is 1 on interior tiles, 0/2 on the first/last tile; dynamic
-        # slicing is unavailable in this TPU lowering, so take the three
-        # static variants and select (vertical pass is cheap vs the stencil).
-        def vpass(m):
-            acc = jnp.zeros((th, w, c), jnp.float32)
+            # ---- SAC (kernel1 both passes) in rows layout ----
+            # replicate borders: duplicated first/last warped rows
+            wpad = jnp.concatenate(
+                [warped[0:1], warped, warped[wh - 1 : wh]], 0)
+            kts = [k_ref[0, :, tap * c : (tap + 1) * c, :]
+                   for tap in range(3)]  # (th, c, w) each
+
+            # m0 is 1 on interior tiles, 0/2 on the first/last tile;
+            # dynamic slicing is unavailable in this TPU lowering, so take
+            # the three static variants and select (the vertical pass is
+            # cheap vs the stencil).
+            def vpass(m):
+                acc = jnp.zeros((th, c, w), jnp.float32)
+                for tap in range(3):
+                    acc = acc + kts[tap] * wpad[m + tap : m + tap + th]
+                return acc
+
+            v = jnp.where(m0 == 0, vpass(0),
+                          jnp.where(m0 == 2, vpass(2), vpass(1)))
+            hpad = jnp.concatenate(
+                [v[:, :, 0:1], v, v[:, :, w - 1 : w]], 2)
+            out = jnp.zeros((th, c, w), jnp.float32)
             for tap in range(3):
-                acc = acc + kts[tap] * wpad[m + tap : m + tap + th]
-            return acc
+                out = out + kts[tap] * hpad[:, :, tap : tap + w]
 
-        v = jnp.where(m0 == 0, vpass(0),
-                      jnp.where(m0 == 2, vpass(2), vpass(1)))
-        hpad = jnp.concatenate([v[:, 0:1], v, v[:, w - 1 : w]], 1)
-        out = jnp.zeros((th, w, c), jnp.float32)
-        for tap in range(3):
-            out = out + kts[tap] * hpad[:, tap : tap + w]
-
-        out = out + fin_ref[0]
-        if act:
-            out = jnp.where(out >= 0, out, 0.1 * out)
-        out_ref[0] = out
+            # embed at the lane offset, add the (ring-zero) residual —
+            # the ring stays zero through the add and the leaky relu
+            out = jnp.pad(out, ((0, 0), (0, 0), (pad_l, wp - pad_l - w)))
+            out = out + fin_ref[0]
+            if act:
+                out = jnp.where(out >= 0, out, 0.1 * out)
+            out_ref[0] = out
 
     pl.run_scoped(
         body,
@@ -157,45 +217,28 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius, th,
     )
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("radius", "tile_rows", "act", "interpret"))
-def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
-                   tile_rows: int = 0, act: bool = True,
-                   interpret: bool = False):
-    """One fused IAC iteration.
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "h", "w", "radius", "tile_rows",
+                              "act", "interpret"))
+def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
+               act, interpret):
+    """One fused iteration, rows layout in -> rows layout out.
 
-    feat/feat_in: (B, H, W, C); flow: (B, H, W, 2); k1_tap_major:
-    (B, H, W, 3*C) with channel layout tap*C + c.  H must divide by
-    ``tile_rows``.  Returns leaky_relu(sac(warp(feat, flow), k1) + feat_in)
-    (activation skipped when ``act`` is False).
+    src/fin_rows: (B, Hp, C, Wp); flow: (B, H, W, 2); ktr: rows-transposed
+    tap-major kernels (B, H, AC*3C, W) — ``chunk`` selects the iteration's
+    3C-channel block inside the BlockSpec (no per-iteration slicing copy).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, w, c = feat.shape
-    if not tile_rows:
-        # bigger tiles amortize the window halo (measured 1.14 vs 1.25ms
-        # per iteration at 272x480x64 for 16 vs 8)
-        tile_rows = 16 if h % 16 == 0 else 8
-    if h % tile_rows:
-        raise ValueError(f"H={h} not divisible by tile_rows={tile_rows}")
-    if c % 8:
-        raise ValueError(f"C={c} must be a multiple of 8 (sublane tiling)")
-    pad_v = radius + 14  # covers |tile-mean vertical flow| up to 13px
-    # Horizontal: the window DMA moves full-width rows (a column slice of an
-    # HBM ref cannot be lane-aligned for arbitrary bases), so Wp must be a
-    # lane multiple; spare width becomes extra horizontal base coverage.
-    wp = ((w + 2 * (radius + 14) + 127) // 128) * 128
-    extra = wp - w - 2 * (radius + 14)
-    pad_l = radius + 14 + extra // 2
-    pad_r = wp - w - pad_l
-    bmax_x = min(pad_l, pad_r) - radius - 1
-    # (B, Hp, C, Wp): row dim outside the tiled pair -> dynamic row DMAs.
-    src = jnp.transpose(
-        jnp.pad(feat, ((0, 0), (pad_v, pad_v), (pad_l, pad_r), (0, 0))),
-        (0, 1, 3, 2))
-    tiles = h // tile_rows
-    wh = tile_rows + 2
+    b, hp, c, wp = src.shape
+    pad_v, pad_l, pad_r, wp2, bmax_x = _geometry(h, w, radius)
+    assert wp2 == wp and hp == h + 2 * pad_v
+    th = tile_rows
+    tiles = h // th
+    tiles_p = hp // th
+    pvt = pad_v // th
+    wh = th + 2
 
     # Pre-tiled flow halos: rows [fr0, fr0+wh) per tile, as plain blocks —
     # overlapping halo reads cannot be expressed as (aligned) in-kernel
@@ -205,47 +248,96 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
     flow_t = flow[:, rows]                                 # (B, tiles, wh, W, 2)
     fxt, fyt = flow_t[..., 0], flow_t[..., 1]
 
-    kern = functools.partial(_kernel, radius=radius, th=tile_rows, h=h, w=w,
-                             c=c, pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x,
-                             wp=wp, act=act, tiles=tiles)
+    def data_tile(tip):
+        return jnp.clip(tip - pvt, 0, tiles - 1)
+
+    kern = functools.partial(_kernel, radius=radius, th=th, h=h, w=w, c=c,
+                             pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x, wp=wp,
+                             act=act, tiles=tiles)
     return pl.pallas_call(
         kern,
-        grid=(b, tiles),
+        grid=(b, tiles_p),
         in_specs=[
-            pl.BlockSpec((1, 1, wh, w), lambda bi, ti: (bi, ti, 0, 0)),  # fx
-            pl.BlockSpec((1, 1, wh, w), lambda bi, ti: (bi, ti, 0, 0)),  # fy
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, tip: (bi, data_tile(tip), 0, 0)),  # fx
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, tip: (bi, data_tile(tip), 0, 0)),  # fy
             # padded source stays in HBM for the manual window DMA (an ANY
             # input small enough to be VMEM-promoted makes the dynamic
             # slices illegal — VMEM slices must be tile-aligned).
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, tile_rows, w, 3 * c),
-                         lambda bi, ti: (bi, ti, 0, 0)),
-            pl.BlockSpec((1, tile_rows, w, c), lambda bi, ti: (bi, ti, 0, 0)),
+            pl.BlockSpec((1, th, 3 * c, w),
+                         lambda bi, tip: (bi, data_tile(tip), chunk, 0)),
+            pl.BlockSpec((1, th, c, wp), lambda bi, tip: (bi, tip, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile_rows, w, c),
-                               lambda bi, ti: (bi, ti, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        out_specs=pl.BlockSpec((1, th, c, wp),
+                               lambda bi, tip: (bi, tip, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), jnp.float32),
         # the 36-tap stencil's temporaries push past the 16M default
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(fxt, fyt, src, k1_tap_major, feat_in)
+    )(fxt, fyt, src, ktr, fin_rows)
+
+
+def _auto_tile_rows(h, pad_v):
+    # bigger tiles amortize the window halo (measured 1.14 vs 1.25 ms per
+    # iteration at 272x480x64 for 16 vs 8); the ring tiles require
+    # pad_v % tile_rows == 0 (pad_v = radius + 14 = 16 for the default
+    # radius 2, so 16/8 both divide it)
+    for th in (16, 8):
+        if h % th == 0 and pad_v % th == 0:
+            return th
+    raise ValueError(f"H={h} not divisible by 8 (or pad_v={pad_v})")
+
+
+def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
+                   tile_rows: int = 0, act: bool = True,
+                   interpret: bool = False):
+    """One fused IAC iteration (NHWC in/out convenience wrapper).
+
+    feat/feat_in: (B, H, W, C); flow: (B, H, W, 2); k1_tap_major:
+    (B, H, W, 3*C) with channel layout tap*C + c.  H must divide by
+    ``tile_rows``.  Returns leaky_relu(sac(warp(feat, flow), k1) + feat_in)
+    (activation skipped when ``act`` is False).
+    """
+    b, h, w, c = feat.shape
+    if c % 8:
+        raise ValueError(f"C={c} must be a multiple of 8 (sublane tiling)")
+    pad_v, pad_l, pad_r, wp, _ = _geometry(h, w, radius)
+    if not tile_rows:
+        tile_rows = _auto_tile_rows(h, pad_v)
+    if h % tile_rows or pad_v % tile_rows:
+        raise ValueError(f"H={h}/pad_v={pad_v} not divisible by "
+                         f"tile_rows={tile_rows}")
+    src = _to_rows(feat, pad_v, pad_l, pad_r)
+    fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
+    ktr = jnp.transpose(k1_tap_major, (0, 1, 3, 2))  # (B, H, 3C, W)
+    out = _rows_call(src, flow, ktr, fin, 0, h, w, radius, tile_rows, act,
+                     interpret)
+    return _from_rows(out, h, w, pad_v, pad_l)
 
 
 def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
               act_last: bool = True, radius: int = 2, tile_rows: int = 0,
               interpret: bool = False):
-    """Fused IAC chain (kernel1-both semantics only).
+    """Fused IAC chain (kernel1-both semantics only), rows-resident:
+    one NHWC->rows transpose in, one rows->NHWC out; iterations chain in
+    the padded rows layout.
 
     pred_k_tap_major: (B, H, W, ac_num*3*C), iteration chunks of tap-major
     kernels; offsets: (AC, B, H, W, 2).
     """
-    c3 = 3 * channels
-    feat = feat_in
+    b, h, w, c = feat_in.shape
+    if c % 8:
+        raise ValueError(f"C={c} must be a multiple of 8 (sublane tiling)")
+    pad_v, pad_l, pad_r, wp, _ = _geometry(h, w, radius)
+    if not tile_rows:
+        tile_rows = _auto_tile_rows(h, pad_v)
+    fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
+    ktr = jnp.transpose(pred_k_tap_major, (0, 1, 3, 2))  # (B,H,AC*3C,W)
+    cur = fin
     for i in range(ac_num):
-        k = pred_k_tap_major[..., i * c3 : (i + 1) * c3]
-        feat = warp_sac_fused(feat, offsets[i], k, feat_in, radius=radius,
-                              tile_rows=tile_rows,
-                              act=(i < ac_num - 1 or act_last),
-                              interpret=interpret)
-    return feat
+        cur = _rows_call(cur, offsets[i], ktr, fin, i, h, w, radius,
+                         tile_rows, i < ac_num - 1 or act_last, interpret)
+    return _from_rows(cur, h, w, pad_v, pad_l)
