@@ -93,13 +93,62 @@ class _SelConv(nn.Module):
         return y
 
 
+class _SplitConv(nn.Module):
+    """Conv applied to a TUPLE of inputs as if they were concatenated on the
+    channel axis, without materializing the concat: conv(concat(parts)) ==
+    sum_i conv_i(part_i) with the kernel's input-channel rows split
+    accordingly (linearity).  ``zero_tail`` declares trailing input channels
+    whose activations are identically zero (MGAA's identity-flow features,
+    CVSR_freq.py:1484-1488) — their kernel rows exist for checkpoint parity
+    but are never applied.  Parameter shapes/names match ``nn.Conv``.
+
+    The summed-partials accumulation order is not bit-identical to the
+    single conv, so callers keep this off the bit-exact parity path (MGAA
+    uses it on the ``warp_impl='pallas'`` deployment path only)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    kernel_init: object
+    bias_init: object
+    zero_tail: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, parts):
+        k = self.kernel_size
+        pad = k // 2
+        cin = sum(p.shape[-1] for p in parts) + self.zero_tail
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, cin, self.features))
+        dt = self.dtype or jnp.promote_types(parts[0].dtype, kernel.dtype)
+        out = None
+        o = 0
+        for p in parts:
+            c = p.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                p.astype(dt), kernel[:, :, o : o + c, :].astype(dt),
+                (self.stride, self.stride), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = y if out is None else out + y
+            o += c
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            out = out + bias.astype(dt)
+        return out
+
+
 class Conv2d(nn.Module):
     """2-D conv with torch-compatible symmetric padding and init.
 
     Padding is explicit ``(k//2, k//2)`` per spatial axis (torch semantics for
     odd kernels, including stride-2 downsamples where XLA 'SAME' would pad
     asymmetrically).  ``out_select``: compute only these output channels while
-    keeping full-size parameters (see ``_SelConv``).
+    keeping full-size parameters (see ``_SelConv``).  Passing a tuple/list of
+    inputs applies the conv as if they were channel-concatenated without
+    materializing the concat (see ``_SplitConv``); ``zero_tail`` then
+    declares trailing always-zero input channels to skip.
     """
 
     features: int
@@ -111,11 +160,15 @@ class Conv2d(nn.Module):
     dtype: Optional[jnp.dtype] = None
     out_select: Optional[tuple] = None
 
+    zero_tail: int = 0  # only meaningful for tuple inputs (_SplitConv)
+
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         pad = k // 2
-        in_features = x.shape[-1]
+        split = isinstance(x, (list, tuple))
+        in_features = (sum(p.shape[-1] for p in x) + self.zero_tail
+                       if split else x.shape[-1])
         fan_in = (in_features // self.groups) * k * k
         if self.init_scale is None:
             kernel_init = _torch_conv_kernel_init
@@ -128,6 +181,13 @@ class Conv2d(nn.Module):
         else:
             kernel_init = _kaiming_normal_scaled(self.init_scale)
             bias_init = nn.initializers.zeros
+        if split:
+            assert self.groups == 1 and self.out_select is None
+            return _SplitConv(
+                features=self.features, kernel_size=k, stride=self.stride,
+                use_bias=self.use_bias, kernel_init=kernel_init,
+                bias_init=bias_init, zero_tail=self.zero_tail,
+                dtype=self.dtype, name="Conv_0")(tuple(x))
         if self.out_select is not None:
             return _SelConv(
                 features=self.features, sel=tuple(self.out_select),

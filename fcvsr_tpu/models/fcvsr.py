@@ -78,15 +78,22 @@ class MGAA(nn.Module):
 
         x1_f, x2_f, x3_f = group(0), group(1), group(2)
 
+        # deployment path (warp_impl='pallas'): concat-feeding convs run as
+        # split partial convs (Conv2d tuple inputs — exact by linearity but
+        # summed-partial accumulation order, so the bit-exact gather path
+        # keeps real concats); the always-zero identity-flow channels are
+        # dropped via zero_tail
+        split = self.warp_impl == "pallas"
         fuse0 = Conv2d(2 * d, 1, use_bias=False, name="convfuse0")
         fuse1 = Conv2d(2 * d, 1, use_bias=False, name="convfuse1")
         fuse2 = Conv2d(2 * d, 1, use_bias=False, name="convfuse2")
 
-        def convfuse(y):
+        def convfuse(*ys):
+            y = ys if split else jnp.concatenate(ys, -1)
             return fuse2(nn.relu(fuse1(nn.relu(fuse0(y)))))
 
-        off_f = (x1_f - x2_f) + convfuse(jnp.concatenate([x1_f, x2_f], -1))
-        off_b = (x3_f - x2_f) + convfuse(jnp.concatenate([x3_f, x2_f], -1))
+        off_f = (x1_f - x2_f) + convfuse(x1_f, x2_f)
+        off_b = (x3_f - x2_f) + convfuse(x3_f, x2_f)
 
         crt0 = Conv2d(d, 1, use_bias=False, name="convcrt0")
         crt1 = Conv2d(4, 1, use_bias=False, name="convcrt1")
@@ -95,16 +102,20 @@ class MGAA(nn.Module):
         # Correlation conditioning: forward corr is used for BOTH directions
         # (reference bug); identity flow features are exactly zero.
         corrf = corr_lookup(x1_f, x2_f, self.corr_radius)
-        zero_flow = jnp.zeros(off_f.shape[:3] + (2,), off_f.dtype)
-        corr0 = Conv2d(d, 1, use_bias=False, name="convcorr0")
+        corr0 = Conv2d(d, 1, use_bias=False, zero_tail=2, name="convcorr0")
         corr1 = Conv2d(d, 1, use_bias=False, name="convcorr1")
         corr2 = Conv2d(4, 1, use_bias=False, name="convcorr2")
 
-        def convcorr(y):
+        def convcorr(off, cf):
+            if split:
+                y = (off, cf)  # zero_tail=2 stands in for zero_flow
+            else:
+                zero_flow = jnp.zeros(off.shape[:3] + (2,), off.dtype)
+                y = jnp.concatenate([off, cf, zero_flow], -1)
             return corr2(nn.relu(corr1(nn.relu(corr0(y)))))
 
-        off_f = convcorr(jnp.concatenate([off_f, corrf, zero_flow], -1))
-        off_b = convcorr(jnp.concatenate([off_b, corrf, zero_flow], -1))
+        off_f = convcorr(off_f, corrf)
+        off_b = convcorr(off_b, corrf)
 
         # Per-iteration offset fields: ConvBlk branch -> gate -> irfft2.
         # All 2*ac_num gated spectra go through ONE batched irfft: each is
@@ -164,7 +175,8 @@ class MGAA(nn.Module):
                         k_tap_major=self.kernel1_both)
 
         out = Conv2d(d, 3, use_bias=False, name="conv3")(
-            jnp.concatenate([aligned_f, aligned_b], -1)
+            (aligned_f, aligned_b) if split
+            else jnp.concatenate([aligned_f, aligned_b], -1)
         )
         return out + x2
 
