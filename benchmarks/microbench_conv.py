@@ -72,9 +72,18 @@ def main():
                     v, wm, h=h, w=w, act=True, tile_rows=args.tile_rows,
                     mode=args.mode, interpret=interp)),
             rows, flops)
+    # bf16 HBM-resident chain dtype: same kernel, half the window/output
+    # DMA bytes (the matmuls are single-pass bf16 either way)
     x = arr(1, h, w, 64)
     k = arr(3, 3, 64, 64) * 0.2
     wm = prep_weight(k, args.mode)
+    bench["pal_64_64_bf16"] = (
+        functools.partial(
+            lambda v, wm=wm: conv3x3_rows(
+                v, wm, h=h, w=w, act=True, tile_rows=args.tile_rows,
+                mode=args.mode, interpret=interp)),
+        pad_to_rows(x, args.tile_rows).astype(jnp.bfloat16),
+        2 * m * 9 * 64 * 64)
     bench["pal_64_64_rt"] = (
         functools.partial(
             lambda v, wm=wm: rows_to_nhwc(

@@ -51,7 +51,7 @@ def main():
     bench = {}
     for g in (10, 4):
         p = SCNet(c, g).init(jax.random.PRNGKey(0), [x, d1, d2])
-        for impl in ("xla", "rows"):
+        for impl in ("xla", "rows", "rows_bf16"):
             mod = SCNet(c, g, impl=impl)
             bench[f"scnet{g}_{impl}"] = (
                 functools.partial(

@@ -69,6 +69,10 @@ class _SelConv(nn.Module):
     kernel_init: object
     bias_init: object
     dtype: Optional[jnp.dtype] = None  # compute dtype, like nn.Conv's
+    # 'rows' emits (B, H, Cout, W) directly (1x1 convs only) — the layout
+    # the fused IAC kernel consumes; at MGAA's F1 width the NHWC->rows
+    # transpose it replaces is a ~600MB HBM pass per chain
+    out_layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x):
@@ -82,6 +86,14 @@ class _SelConv(nn.Module):
         # promote like nn.Conv does (mixed bf16 params / f32 activations),
         # honouring an explicit compute dtype when set
         dt = self.dtype or jnp.promote_types(x.dtype, w.dtype)
+        if self.out_layout == "rows":
+            assert k == 1 and self.stride == 1 and self.groups == 1
+            y = jnp.einsum("bhwi,io->bhow", x.astype(dt), w[0, 0].astype(dt))
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,))
+                y = y + jnp.take(bias, jnp.asarray(sel)).astype(
+                    dt)[None, None, :, None]
+            return y
         y = jax.lax.conv_general_dilated(
             x.astype(dt), w.astype(dt), (self.stride, self.stride),
             ((pad, pad), (pad, pad)),
@@ -161,6 +173,7 @@ class Conv2d(nn.Module):
     out_select: Optional[tuple] = None
 
     zero_tail: int = 0  # only meaningful for tuple inputs (_SplitConv)
+    out_layout: str = "nhwc"  # 'rows' (with out_select, 1x1): see _SelConv
 
     @nn.compact
     def __call__(self, x):
@@ -193,7 +206,9 @@ class Conv2d(nn.Module):
                 features=self.features, sel=tuple(self.out_select),
                 kernel_size=k, stride=self.stride, use_bias=self.use_bias,
                 groups=self.groups, kernel_init=kernel_init,
-                bias_init=bias_init, dtype=self.dtype, name="Conv_0")(x)
+                bias_init=bias_init, dtype=self.dtype,
+                out_layout=self.out_layout, name="Conv_0")(x)
+        assert self.out_layout == "nhwc"
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -373,17 +388,20 @@ class SCNet(nn.Module):
 
     nf: int
     num_groups: int = 10
-    impl: str = "xla"  # 'rows' = Pallas rows-layout serving kernel
+    impl: str = "xla"  # 'rows' / 'rows_bf16' = Pallas rows-layout serving
+    # kernel ('rows_bf16' additionally stores the chain activations as
+    # bf16 in HBM — halves the layout's memory traffic; storage-rounding
+    # numerics delta only, the MXU passes are bf16 either way)
 
     @nn.compact
     def __call__(self, x_list):
-        if self.impl == "rows" and not self.is_initializing():
+        if self.impl in ("rows", "rows_bf16") and not self.is_initializing():
             from .scnet_rows import scnet_rows_diff
 
             interpret = jax.default_backend() == "cpu"
             return list(scnet_rows_diff(
                 self.variables["params"], tuple(x_list), self.nf,
-                self.num_groups, interpret))
+                self.num_groups, interpret, self.impl == "rows_bf16"))
         res = list(x_list)
         for i in range(self.num_groups):
             res = SCGroup(self.nf, name=f"group{i}")(res)

@@ -156,23 +156,30 @@ class MGAA(nn.Module):
             # kernel1 halves only (the kernel2 outputs are dead under the
             # reference bug), emitted TAP-MAJOR per iteration chunk so SAC's
             # per-tap slices are contiguous lanes (free output permutation).
+            # On the fused path F1 additionally emits (B, H, C', W) rows
+            # layout directly — the kernels tensor is the biggest in the
+            # model (AC*3*dim channels) and the fused kernel consumes rows,
+            # so the NHWC->rows transpose it replaces is a ~600MB HBM pass.
             sel = tuple(i * 2 * half + c * self.ac_ks + t
                         for i in range(self.ac_num)
                         for t in range(self.ac_ks)
                         for c in range(d))
+            k_rows = split
             pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1",
-                            out_select=sel)(f0)
+                            out_select=sel,
+                            out_layout="rows" if k_rows else "nhwc")(f0)
         else:
+            k_rows = False
             pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1")(f0)
 
         aligned_f = iac(x1, pred_k, offsets_f, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
                         k1_only=self.kernel1_both, warp_impl=self.warp_impl,
-                        k_tap_major=self.kernel1_both)
+                        k_tap_major=self.kernel1_both, k_rows=k_rows)
         aligned_b = iac(x3, pred_k, offsets_b, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
                         k1_only=self.kernel1_both, warp_impl=self.warp_impl,
-                        k_tap_major=self.kernel1_both)
+                        k_tap_major=self.kernel1_both, k_rows=k_rows)
 
         out = Conv2d(d, 3, use_bias=False, name="conv3")(
             (aligned_f, aligned_b) if split

@@ -66,17 +66,20 @@ def _embedded_resize(h, w, h2, w2, tile_rows, scale):
 
 def _resize_rows(x, h, w, h2, w2, tile_rows, scale):
     wh, ww = _embedded_resize(h, w, h2, w2, tile_rows, scale)
-    y = jnp.einsum("oh,bhcw->bocw", wh, x, precision=_HI)
-    return jnp.einsum("pw,bocw->bocp", ww, y, precision=_HI)
+    y = jnp.einsum("oh,bhcw->bocw", wh, x, precision=_HI,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,bocw->bocp", ww, y, precision=_HI,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _conv1x1(x, kernel, bias=None):
-    y = jnp.einsum("co,bhcw->bhow", kernel[0, 0], x)
+    y = jnp.einsum("co,bhcw->bhow", kernel[0, 0], x,
+                   preferred_element_type=jnp.float32)
     if bias is not None:
         # pollutes the zero ring; callers always follow with a resize
         # whose embedded matrices re-mask it
         y = y + bias[None, None, :, None]
-    return y
+    return y.astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,7 +105,8 @@ def _context_block(cp, x, h, w, tile_rows):
     t = jnp.where(t >= 0, t, 0.2 * t)
     t = t @ _k(cp["add1"])[0, 0]
     # the broadcast add pollutes the ring; re-mask
-    return (x + t[:, None, :, None]) * vm[None, :, None, :]
+    return ((x.astype(jnp.float32) + t[:, None, :, None])
+            * vm[None, :, None, :]).astype(x.dtype)
 
 
 def _rcb(rp, x, h, w, tile_rows, interpret):
@@ -142,7 +146,8 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret):
 
 
 def scnet_rows_apply(params, x_list, num_groups: int = 10,
-                     tile_rows: int = 16, interpret: bool = False):
+                     tile_rows: int = 16, interpret: bool = False,
+                     chain_dtype=jnp.float32):
     """Replay SCNet (models/blocks.py::SCNet) on its own param pytree.
 
     params: the SCNet module's params subtree; x_list: NHWC [L1, L2, L3].
@@ -150,7 +155,7 @@ def scnet_rows_apply(params, x_list, num_groups: int = 10,
     ``SCNet.apply``.
     """
     shapes = [(int(x.shape[1]), int(x.shape[2])) for x in x_list]
-    xs = [pad_to_rows(x, tile_rows) for x in x_list]
+    xs = [pad_to_rows(x, tile_rows).astype(chain_dtype) for x in x_list]
     res = list(xs)
     for i in range(num_groups):
         gp = params[f"group{i}"]
@@ -160,28 +165,36 @@ def scnet_rows_apply(params, x_list, num_groups: int = 10,
                              interpret)
         wk = prep_weight(_k(gp["conv"]))
         wb = _b(gp["conv"])
-        res = [x + conv3x3_rows(r, wk, wb, h=h, w=w, tile_rows=tile_rows,
-                                interpret=interpret)
+        # the group residual rides the conv kernel's fused-res input (one
+        # HBM pass instead of conv-out + separate read-modify-write add)
+        res = [conv3x3_rows(r, wk, wb, res=x, h=h, w=w, tile_rows=tile_rows,
+                            interpret=interpret)
                for x, r, (h, w) in zip(gin, res, shapes)]
     out = [x + r for x, r in zip(xs, res)]
-    return [rows_to_nhwc(y, h, w) for y, (h, w) in zip(out, shapes)]
+    return [rows_to_nhwc(y, h, w).astype(jnp.float32)
+            for y, (h, w) in zip(out, shapes)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def scnet_rows_diff(params, x_list, nf, num_groups, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def scnet_rows_diff(params, x_list, nf, num_groups, interpret,
+                    bf16=False):
     """Rows-layout forward with the exact NHWC-path VJP (exact-path
     gradients; the backward re-runs the NHWC forward internally — the
-    training win is the primal forward only)."""
-    return tuple(scnet_rows_apply(params, x_list, num_groups,
-                                  interpret=interpret))
+    training win is the primal forward only).  ``bf16``: carry the chain
+    activations as bf16 in HBM (halves the layout's memory traffic; the
+    MXU matmuls are single-pass bf16 either way, so the numerics delta is
+    storage rounding between ops only)."""
+    return tuple(scnet_rows_apply(
+        params, x_list, num_groups, interpret=interpret,
+        chain_dtype=jnp.bfloat16 if bf16 else jnp.float32))
 
 
-def _diff_fwd(params, x_list, nf, num_groups, interpret):
-    out = scnet_rows_diff(params, x_list, nf, num_groups, interpret)
+def _diff_fwd(params, x_list, nf, num_groups, interpret, bf16=False):
+    out = scnet_rows_diff(params, x_list, nf, num_groups, interpret, bf16)
     return out, (params, x_list)
 
 
-def _diff_bwd(nf, num_groups, interpret, res, g):
+def _diff_bwd(nf, num_groups, interpret, bf16, res, g):
     from .blocks import SCNet
 
     params, x_list = res

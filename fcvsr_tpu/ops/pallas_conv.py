@@ -62,11 +62,17 @@ def rows_geometry(h: int, w: int, tile_rows: int = 16):
     return hp, wp
 
 
-def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
-            h, w, act, neg_slope, mode, tiles, nb):
+def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
+            neg_slope, mode, tiles, nb, has_res):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if has_res:
+        res_ref, out_ref, win, sems = rest
+    else:
+        out_ref, win, sems = rest
+        res_ref = None
 
     ti = pl.program_id(1)
     bi = pl.program_id(0)
@@ -104,8 +110,11 @@ def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
     # input cols ow-1..ow+1 — output columns stay aligned with input
     # columns (the chain contract).  The wraparound lanes only ever land
     # in the masked ring.  Roll in f32 and cast after: pltpu.roll on bf16
-    # (16-sublane tiling) crashes the Mosaic compile helper.
+    # (16-sublane tiling) crashes the Mosaic compile helper — a bf16
+    # window (HBM-halving chain dtype) is widened to f32 first.
     full = win[g % 2]
+    if full.dtype != jnp.float32:
+        full = full.astype(jnp.float32)
     rolled = [pltpu.roll(full, 1, axis=2).astype(jnp.bfloat16),   # dx = 0
               full.astype(jnp.bfloat16),                          # dx = 1
               pltpu.roll(full, wp - 1, axis=2).astype(jnp.bfloat16)]
@@ -118,10 +127,28 @@ def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
                  for dx in range(3)]
         rhs = jnp.concatenate(slabs, axis=1)
     else:
-        # 'cat3': concat the three dx-rolls once (th+2, 3c, wp); per
-        # output row three accumulating K=3c matmuls indexed by dy through
-        # the outer row dim — no per-row copies.
+        # 'cat3'/'mstack': concat the three dx-rolls once (th+2, 3c, wp);
+        # matmuls index rows through the outer dim — no per-row copies.
         cat = jnp.concatenate(rolled, axis=1)        # (th+2, 3c, wp)
+
+    acc = [None] * th
+    if mode == "mstack":
+        # One (3*cout, 3c) matmul per INPUT row, scatter-accumulated into
+        # the <=3 output rows it feeds (out[r] += w_dy @ cat[r+dy] means
+        # cat row rin contributes to out rows rin-2..rin).  Per-output-row
+        # MXU tile-passes at c=cout=64: ceil(192/128)*ceil(192/128)*(th+2)
+        # = 4*(th+2) vs cat3's 3*ceil(64/128)*ceil(192/128)*th = 6*th —
+        # ~1.4x fewer 128x128 weight-tile loads, same VPU work.
+        for rin in range(th + 2):
+            p = jax.lax.dot_general(
+                wmat, cat[rin],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (3*cout, wp)
+            for dy in range(3):
+                r = rin - dy
+                if 0 <= r < th:
+                    blk = p[dy * cout : (dy + 1) * cout]
+                    acc[r] = blk if acc[r] is None else acc[r] + blk
 
     for r in range(th):
         if mode == "cat9":
@@ -129,6 +156,8 @@ def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
                 wmat, rhs[r],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (cout, wp)
+        elif mode == "mstack":
+            o = acc[r]
         else:
             o = None
             for dy in range(3):
@@ -138,11 +167,16 @@ def _kernel(src_hbm, w_ref, b_ref, out_ref, win, sems, *, th, c, cout, wp,
                     preferred_element_type=jnp.float32)
                 o = d if o is None else o + d
         o = o + b_ref[...]
+        if has_res:
+            # fused residual: saves a separate HBM read-modify-write pass
+            # over the (B, Hp, Cout, Wp) output (~3x40MB at L1 bench size)
+            o = o + res_ref[0, r].astype(jnp.float32)
         if act:
             o = jnp.where(o >= 0, o, neg_slope * o)
         gr = t0 + r
         rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
-        out_ref[0, r] = jnp.where(rowvalid, o * colmask, 0.0)
+        out_ref[0, r] = jnp.where(rowvalid, o * colmask,
+                                  0.0).astype(out_ref.dtype)
 
 
 def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:
@@ -151,12 +185,17 @@ def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:
     'cat9': (Cout, 9*Cin) with k = (dy*3+dx)*Cin+cin.
     'cat3': (3, Cout, 3*Cin) — split by dy, k = dx*Cin+cin per slab
     (matching the in-kernel dx-roll concat order).
+    'mstack': (3*Cout, 3*Cin) — the cat3 slabs stacked dy-major along M
+    (one matmul per input row, scatter-accumulated).
     """
     kh, kw, cin, cout = weight.shape
     assert kh == 3 and kw == 3
     if mode == "cat9":
         return jnp.transpose(weight, (3, 0, 1, 2)).reshape(cout, 9 * cin)
-    return jnp.transpose(weight, (0, 3, 1, 2)).reshape(3, cout, 3 * cin)
+    w3 = jnp.transpose(weight, (0, 3, 1, 2)).reshape(3, cout, 3 * cin)
+    if mode == "mstack":
+        return w3.reshape(3 * cout, 3 * cin)
+    return w3
 
 
 def pad_to_rows(x: jnp.ndarray, tile_rows: int = 16) -> jnp.ndarray:
@@ -177,18 +216,24 @@ def rows_to_nhwc(y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "act", "neg_slope",
                                              "tile_rows", "mode",
-                                             "interpret"))
-def conv3x3_rows(x_rows, wmat, bias=None, *, h: int, w: int,
+                                             "out_dtype", "interpret"))
+def conv3x3_rows(x_rows, wmat, bias=None, res=None, *, h: int, w: int,
                  act: bool = False, neg_slope: float = 0.2,
                  tile_rows: int = 16, mode: str = "cat3",
-                 interpret: bool = False):
+                 out_dtype=None, interpret: bool = False):
     """3x3 SAME conv on rows-layout activations (chain-resident).
 
     x_rows: (B, Hp, C, Wp) from :func:`pad_to_rows` or a previous call;
     wmat: from :func:`prep_weight` (same ``mode``); h/w: the data-region
     size.  Returns (B, Hp, Cout, Wp) in the same layout with the zero
     ring re-established (so calls chain without repadding).  ``act``
-    fuses leaky_relu(neg_slope).
+    fuses leaky_relu(neg_slope).  ``res``: an optional (B, Hp, Cout, Wp)
+    rows tensor added to the conv output *before* the activation — fusing
+    a residual add that would otherwise be a separate full-tensor HBM
+    read-modify-write pass.  Activations may be bf16 (the HBM-halving
+    chain dtype — matmuls are single-pass bf16 regardless, so the only
+    numerics change is bf16 *storage* rounding between convs);
+    ``out_dtype`` defaults to the input dtype.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -200,6 +245,10 @@ def conv3x3_rows(x_rows, wmat, bias=None, *, h: int, w: int,
         cout = wmat.shape[0]
         assert wmat.shape[1] == 9 * c
         wspec = pl.BlockSpec((cout, 9 * c), lambda bi, ti: (0, 0))
+    elif mode == "mstack":
+        cout = wmat.shape[0] // 3
+        assert wmat.shape == (3 * cout, 3 * c)
+        wspec = pl.BlockSpec((3 * cout, 3 * c), lambda bi, ti: (0, 0))
     else:
         cout = wmat.shape[1]
         assert wmat.shape == (3, cout, 3 * c)
@@ -212,23 +261,32 @@ def conv3x3_rows(x_rows, wmat, bias=None, *, h: int, w: int,
 
     kern = functools.partial(_kernel, th=tile_rows, c=c, cout=cout, wp=wp,
                              h=h, w=w, act=act, neg_slope=neg_slope,
-                             mode=mode, tiles=tiles, nb=b)
+                             mode=mode, tiles=tiles, nb=b,
+                             has_res=res is not None)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        wspec,
+        pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
+    ]
+    args = [x_rows, wmat, bvec]
+    if res is not None:
+        assert res.shape == (b, hp, cout, wp), (res.shape, (b, hp, cout, wp))
+        in_specs.append(pl.BlockSpec((1, tile_rows, cout, wp),
+                                     lambda bi, ti: (bi, ti, 0, 0)))
+        args.append(res)
     return pl.pallas_call(
         kern,
         grid=(b, tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            wspec,
-            pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_rows, cout, wp),
                                lambda bi, ti: (bi, ti, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hp, cout, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp, cout, wp),
+                                       out_dtype or x_rows.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_rows + 2, c, wp), jnp.float32),
+            pltpu.VMEM((2, tile_rows + 2, c, wp), x_rows.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x_rows, wmat, bvec)
+    )(*args)

@@ -320,13 +320,16 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
 
 def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
               act_last: bool = True, radius: int = 2, tile_rows: int = 0,
-              interpret: bool = False):
+              k_rows: bool = False, interpret: bool = False):
     """Fused IAC chain (kernel1-both semantics only), rows-resident:
     one NHWC->rows transpose in, one rows->NHWC out; iterations chain in
     the padded rows layout.
 
     pred_k_tap_major: (B, H, W, ac_num*3*C), iteration chunks of tap-major
-    kernels; offsets: (AC, B, H, W, 2).
+    kernels; offsets: (AC, B, H, W, 2).  ``k_rows``: the kernels already
+    arrive rows-transposed as (B, H, ac_num*3*C, W) — MGAA's predictor
+    emits this directly (Conv2d out_layout='rows'), skipping a transpose
+    whose full-shape tensor is ~600MB.
     """
     b, h, w, c = feat_in.shape
     if c % 8:
@@ -335,7 +338,9 @@ def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
     if not tile_rows:
         tile_rows = _auto_tile_rows(h, pad_v)
     fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
-    ktr = jnp.transpose(pred_k_tap_major, (0, 1, 3, 2))  # (B,H,AC*3C,W)
+    ktr = (pred_k_tap_major if k_rows
+           else jnp.transpose(pred_k_tap_major, (0, 1, 3, 2)))
+    assert ktr.shape == (b, h, ac_num * 3 * channels, w), ktr.shape
     cur = fin
     for i in range(ac_num):
         cur = _rows_call(cur, offsets[i], ktr, fin, i, h, w, radius,

@@ -79,6 +79,7 @@ def iac(
     k1_only: bool = False,
     warp_impl: str = "gather",
     k_tap_major: bool = False,
+    k_rows: bool = False,
 ) -> jnp.ndarray:
     """Iterative adaptive convolution (CVSR_freq.py:1230-1250).
 
@@ -107,8 +108,12 @@ def iac(
         if kernel1_both and k1_only and k_tap_major and h % 8 == 0 \
                 and channels % 8 == 0 and ksize == 3:
             return _iac_fused_diff(feat_in, pred_k, offsets, ac_num,
-                                   channels, act_last)
+                                   channels, act_last, k_rows)
         warp_impl = "gather"  # unsupported configuration: exact fallback
+    if k_rows:
+        # the caller emitted rows-layout kernels (B, H, AC*ks*C, W) for the
+        # fused path; the exact path consumes NHWC tap-major
+        pred_k = jnp.transpose(pred_k, (0, 1, 3, 2))
 
     warp = flow_warp
     if k_tap_major:
@@ -127,8 +132,9 @@ def iac(
     return feat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _iac_fused_diff(feat_in, pred_k, offsets, ac_num, channels, act_last):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _iac_fused_diff(feat_in, pred_k, offsets, ac_num, channels, act_last,
+                    k_rows=False):
     """Fused Pallas IAC chain with the exact gather-path VJP.
 
     ``pallas_call`` has no autodiff rule; this makes ``warp_impl='pallas'``
@@ -144,21 +150,23 @@ def _iac_fused_diff(feat_in, pred_k, offsets, ac_num, channels, act_last):
     from .pallas_iac import iac_fused
 
     return iac_fused(feat_in, pred_k, offsets, ac_num, channels,
-                     act_last=act_last,
+                     act_last=act_last, k_rows=k_rows,
                      interpret=jax.default_backend() == "cpu")
 
 
 def _iac_fused_diff_fwd(feat_in, pred_k, offsets, ac_num, channels,
-                        act_last):
+                        act_last, k_rows=False):
     out = _iac_fused_diff(feat_in, pred_k, offsets, ac_num, channels,
-                          act_last)
+                          act_last, k_rows)
     return out, (feat_in, pred_k, offsets)
 
 
-def _iac_fused_diff_bwd(ac_num, channels, act_last, res, g):
+def _iac_fused_diff_bwd(ac_num, channels, act_last, k_rows, res, g):
     feat_in, pred_k, offsets = res
 
     def exact(fi, pk, off):
+        if k_rows:  # gradients flow back through the layout transpose
+            pk = jnp.transpose(pk, (0, 1, 3, 2))
         return iac(fi, pk, off, ac_num, channels, 3, act_last=act_last,
                    kernel1_both=True, k1_only=True, warp_impl="gather",
                    k_tap_major=True)

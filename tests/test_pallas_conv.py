@@ -61,12 +61,12 @@ def _run(b=1, h=16, w=40, c=16, cout=16, bias=False, act=False,
     assert err < 0.15, err
 
 
-@pytest.mark.parametrize("mode", ["cat3", "cat9"])
+@pytest.mark.parametrize("mode", ["cat3", "cat9", "mstack"])
 def test_basic(mode):
     _run(mode=mode)
 
 
-@pytest.mark.parametrize("mode", ["cat3", "cat9"])
+@pytest.mark.parametrize("mode", ["cat3", "cat9", "mstack"])
 def test_bias_and_act(mode):
     _run(bias=True, act=True, mode=mode)
 
@@ -127,3 +127,26 @@ def test_geometry_last_data_tile_unclamped():
             t0_last_data = ((ROW_OFF + h - 1) // th) * th
             assert t0_last_data - 1 <= hp - (th + 2), (h, th)
             assert hp % th == 0 and hp >= ROW_OFF + h + 1
+
+
+def test_fused_residual():
+    """res= adds a rows tensor before the activation (the group-residual
+    fusion in scnet_rows): conv(x) + res == conv3x3_rows(..., res=res)."""
+    h, w, c = 24, 44, 16
+    x = jnp.asarray(RNG.standard_normal((1, h, w, c)), jnp.float32)
+    r = jnp.asarray(RNG.standard_normal((1, h, w, c)), jnp.float32)
+    wgt = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, c)), jnp.float32)
+    for act in (False, True):
+        ref = _xla_conv(x, wgt).astype(jnp.float32) + r
+        if act:
+            ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+        y = conv3x3_rows(pad_to_rows(x, 8), prep_weight(wgt),
+                         res=pad_to_rows(r, 8), h=h, w=w, act=act,
+                         tile_rows=8, interpret=True)
+        got = rows_to_nhwc(y, h, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+        # ring must stay zero even though res pollutes nothing here
+        yz = np.asarray(y).copy()
+        yz[:, ROW_OFF : ROW_OFF + h, :, 1 : 1 + w] = 0.0
+        assert np.abs(yz).max() == 0.0

@@ -125,3 +125,20 @@ def test_scnet_rows_grad_exact():
     for a, b in zip(flat_x, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_scnet_rows_bf16_chain():
+    """impl='rows_bf16' (bf16 HBM-resident chain) stays within a
+    storage-rounding envelope of the f32 NHWC path — a few bf16 ulps per
+    op through the chain, far below any orchestration error."""
+    nf, groups = 16, 2
+    xs = _pyramid(1, 16, 24, nf)
+    mod_x = SCNet(nf, groups)
+    mod_b = SCNet(nf, groups, impl="rows_bf16")
+    params = mod_x.init(jax.random.PRNGKey(13), xs)["params"]
+    ref = mod_x.apply({"params": params}, xs)
+    got = mod_b.apply({"params": params}, xs)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert g.dtype == np.float32
+        assert np.abs(g - r).max() < 8e-2 * np.abs(r).max()
