@@ -280,6 +280,35 @@ def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
     )(fxt, fyt, src, ktr, fin_rows)
 
 
+@functools.lru_cache(maxsize=None)
+def _rows_vmappable(chunk, h, w, radius, tile_rows, act, interpret):
+    """custom_vmap wrapper around :func:`_rows_call`: the manual-DMA source
+    input cannot be block-indexed under vmap (Mosaic requires trivial index
+    maps for HBM-space inputs), so a vmapped call folds the mapped axis
+    into the kernel's own batch grid instead (ETC mode vmaps the whole
+    forward over sliding windows; same pattern as ops/pallas_dcn.py)."""
+
+    def base(src, flow, ktr, fin):
+        return _rows_call(src, flow, ktr, fin, chunk, h, w, radius,
+                          tile_rows, act, interpret)
+
+    wrapped = jax.custom_batching.custom_vmap(base)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, src, flow, ktr, fin):  # noqa: ANN001
+        def bat(a, is_b):
+            if is_b:
+                return a.reshape((-1,) + a.shape[2:])
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape) \
+                .reshape((-1,) + a.shape[1:])
+
+        out = base(*(bat(a, ib)
+                     for a, ib in zip((src, flow, ktr, fin), in_batched)))
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return wrapped
+
+
 def _auto_tile_rows(h, pad_v):
     # bigger tiles amortize the window halo (measured 1.14 vs 1.25 ms per
     # iteration at 272x480x64 for 16 vs 8); the ring tiles require
@@ -313,8 +342,8 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
     src = _to_rows(feat, pad_v, pad_l, pad_r)
     fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
     ktr = jnp.transpose(k1_tap_major, (0, 1, 3, 2))  # (B, H, 3C, W)
-    out = _rows_call(src, flow, ktr, fin, 0, h, w, radius, tile_rows, act,
-                     interpret)
+    out = _rows_vmappable(0, h, w, radius, tile_rows, act,
+                          interpret)(src, flow, ktr, fin)
     return _from_rows(out, h, w, pad_v, pad_l)
 
 
@@ -343,6 +372,7 @@ def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
     assert ktr.shape == (b, h, ac_num * 3 * channels, w), ktr.shape
     cur = fin
     for i in range(ac_num):
-        cur = _rows_call(cur, offsets[i], ktr, fin, i, h, w, radius,
-                         tile_rows, i < ac_num - 1 or act_last, interpret)
+        cur = _rows_vmappable(i, h, w, radius, tile_rows,
+                              i < ac_num - 1 or act_last,
+                              interpret)(cur, offsets[i], ktr, fin)
     return _from_rows(cur, h, w, pad_v, pad_l)

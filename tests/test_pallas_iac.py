@@ -124,3 +124,24 @@ def test_iac_pallas_grad_matches_gather():
     for gr, gp in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_iac_pallas_vmap_folds_to_batch():
+    """vmap over a leading axis folds into the kernel's batch grid
+    (custom_vmap — Mosaic can't block-index the manual-DMA source under
+    vmap on hardware; ETC mode vmaps the whole forward over windows)."""
+    v, b, h, w, c, ac = 3, 1, 16, 24, 8, 2
+    feat = jnp.asarray(RNG.standard_normal((v, b, h, w, c)), jnp.float32)
+    pred = jnp.asarray(RNG.standard_normal((v, b, h, w, ac * 3 * c)),
+                       jnp.float32)
+    offs = jnp.asarray(RNG.uniform(-1.2, 1.2, (v, ac, b, h, w, 2)),
+                       jnp.float32)
+
+    def one(f, p, o):
+        return iac(f, p, o, ac, c, 3, kernel1_both=True, k1_only=True,
+                   warp_impl="pallas", k_tap_major=True)
+
+    vm = jax.vmap(one)(feat, pred, offs)
+    lp = jnp.stack([one(feat[i], pred[i], offs[i]) for i in range(v)])
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(lp),
+                               rtol=1e-6, atol=1e-6)
