@@ -192,7 +192,10 @@ def _resize_weights(in_len: int, out_len: int, kind: str):
         w = np.zeros((out_len, in_len))
         for o in range(out_len):
             lo, hi = o * inv, (o + 1) * inv
-            for i in range(int(np.floor(lo)), int(np.ceil(hi))):
+            # float rounding can push ceil(hi) one past in_len (e.g.
+            # 19/21*21 = 19.000000000000004) — clamp to the valid range
+            for i in range(max(int(np.floor(lo)), 0),
+                           min(int(np.ceil(hi)), in_len)):
                 w[o, i] = min(hi, i + 1) - max(lo, i)
         return (w / w.sum(1, keepdims=True)).astype(np.float32)
     # half-pixel sample positions

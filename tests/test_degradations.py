@@ -308,3 +308,24 @@ def test_lmdb_empty_database(tmp_path):
     assert r.entries == 0
     assert r.get(b"anything") is None
     assert list(r.keys()) == []
+
+
+def test_area_resize_rounding_edge():
+    """Regression: float rounding in the area-weights span (hi = (o+1) *
+    in/out) could push ceil(hi) one past in_len (675 failing (in, out)
+    pairs under 200 — e.g. 21->19) and IndexError inside the random
+    second-order pipeline."""
+    import numpy as np
+
+    from fcvsr_tpu.data.degradations import resize_image
+
+    img = np.random.default_rng(0).uniform(0, 1, (21, 25, 3)).astype(
+        np.float32)
+    out = resize_image(img, (19, 22), "area")
+    assert out.shape == (19, 22, 3)
+    assert np.isfinite(out).all()
+    # exact box-mean identity on an aligned pair stays intact
+    img2 = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    got = resize_image(img2, (2, 2), "area")
+    exp = img2.reshape(2, 2, 2, 2, 1).mean((1, 3))
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
