@@ -283,6 +283,7 @@ def run_gan_training(cfg, args):
     state, start = restore_gan_checkpoint(ckpt_dir, state)
     log_f = open(os.path.join(work_dir, "train_log.csv"), "a", newline="")
     logger = csv.writer(log_f)
+    tb = _make_tb(work_dir, getattr(args, "tensorboard", False))
     t0 = time.time()
     for it in range(start, cfg.train.total_iters):
         lq_b, gt_b = sample(rng)
@@ -294,10 +295,27 @@ def run_gan_training(cfg, args):
             logger.writerow([it + 1] + [float(np.asarray(v))
                                         for _, v in sorted(logs.items())])
             log_f.flush()
+            if tb is not None:
+                for k, v in sorted(logs.items()):
+                    tb.add_scalar(f"train/{k}", float(np.asarray(v)), it + 1)
         if (it + 1) % cfg.train.ckpt_interval == 0 or \
                 (it + 1) == cfg.train.total_iters:
             save_gan_checkpoint(ckpt_dir, it + 1, state)
     print(f"training complete ({time.time() - t0:.1f}s)")
+
+
+def _make_tb(work_dir: str, enabled: bool):
+    """Optional TensorBoard scalars (reference parity: CVSR_train logs TB
+    via SummaryWriter, train_LD_freqCVSR_22.py:227,258,278-279).  Gated on
+    the flag + import so the CSV log remains the canonical record."""
+    if not enabled:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        print("[tb] torch.utils.tensorboard unavailable; skipping")
+        return None
+    return SummaryWriter(os.path.join(work_dir, "tb"))
 
 
 def main(argv=None):
@@ -330,6 +348,9 @@ def main(argv=None):
                              "exact-path gradients; forwards use the "
                              "bounded-deviation fused kernels "
                              "(ops/pallas_iac.py, ops/pallas_dcn.py)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also log scalars to <work_dir>/tb "
+                             "(reference SummaryWriter parity)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialise jax.distributed before training")
     parser.add_argument("--coordinator", type=str, default="",
@@ -452,6 +473,7 @@ def main(argv=None):
     log_path = os.path.join(work_dir, "train_log.csv")
     log_f = open(log_path, "a", newline="")
     logger = csv.writer(log_f)
+    tb = _make_tb(work_dir, args.tensorboard)
 
     def run_eval(it):
         """Periodic PSNR eval over the first validation sequence (the
@@ -483,6 +505,8 @@ def main(argv=None):
         print(f"[eval] iter {it} PSNR {np.mean(psnrs):.4f}", flush=True)
         logger.writerow([it, "eval_psnr", float(np.mean(psnrs))])
         log_f.flush()
+        if tb is not None:
+            tb.add_scalar("eval/psnr", float(np.mean(psnrs)), it)
 
     t0 = time.time()
     for it in range(start, cfg.train.total_iters):
@@ -496,6 +520,10 @@ def main(argv=None):
                   f"({cfg.train.log_interval / dt:.2f} it/s)", flush=True)
             logger.writerow([it + 1, loss, dt])
             log_f.flush()
+            if tb is not None:
+                tb.add_scalar("train/loss", loss, it + 1)
+                tb.add_scalar("train/iters_per_sec",
+                              cfg.train.log_interval / dt, it + 1)
             t0 = time.time()
         if (it + 1) % cfg.train.ckpt_interval == 0:
             save_checkpoint(ckpt_dir, it + 1, state)
