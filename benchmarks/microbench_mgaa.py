@@ -103,10 +103,14 @@ def main():
     feat = arr(1, h, w, d)
     pred_k = arr(1, h, w, ac * 3 * d)
     offs = jnp.asarray(rng.uniform(-3, 3, (ac, 1, h, w, 2)), jnp.float32)
+    # pred_k (600 MB) must ride as a jit ARG: closure-captured arrays
+    # inline as HLO constants and overflow the tunnel's compile request
+    # (HTTP 413).
     bench["iac6"] = lambda: (
-        lambda v: iac(v, pred_k, offs, ac, d, 3, kernel1_both=True,
-                      k1_only=True, warp_impl="pallas", k_tap_major=True),
-        feat)
+        lambda v, pk, of: iac(v, pk, of, ac, d, 3, kernel1_both=True,
+                              k1_only=True, warp_impl="pallas",
+                              k_tap_major=True),
+        feat, (pred_k, offs))
 
     # ---- kernel predictor (KP -> F0 -> F1 with out_select) ----
     class Pred(nn.Module):
@@ -184,23 +188,24 @@ def main():
     for name, setup in bench.items():
         if only and name not in only:
             continue
-        fn, inp = setup()
+        fn, inp, *rest = setup()
+        extras = rest[0] if rest else ()
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def run_n(v, k, fn=fn):
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run_n(v, ex, k, fn=fn):
             def body(i, acc):
-                return acc + jnp.mean(fn(v * (1.0 + 1e-6 * i)))
+                return acc + jnp.mean(fn(v * (1.0 + 1e-6 * i), *ex))
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
         try:
             t0 = time.perf_counter()
-            np.asarray(run_n(inp, 1))
+            np.asarray(run_n(inp, extras, 1))
             compile_s = time.perf_counter() - t0
-            np.asarray(run_n(inp, n))
+            np.asarray(run_n(inp, extras, n))
 
             def timed(k):
                 t0 = time.perf_counter()
-                val = np.asarray(run_n(inp, k))
+                val = np.asarray(run_n(inp, extras, k))
                 assert np.isfinite(val)
                 return time.perf_counter() - t0
 
