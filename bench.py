@@ -83,9 +83,10 @@ def make(name, **kw):
     if name == "fcvsr_pallas":
         # fused Pallas IAC (bounded-deviation contract, ops/pallas_iac.py)
         # + batch-axis MGAA batching (CPU-exact; finite-probed below)
-        # + rows-layout Pallas SCNet (models/scnet_rows.py)
+        # + bf16-storage rows-layout Pallas SCNet (models/scnet_rows.py;
+        #   60.6 dB PSNR vs the f32 chain — measured round 3)
         return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
-                        scnet_impl="rows", **kw)
+                        scnet_impl="rows_bf16", **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
     if name == "edvr_pallas":

@@ -1,0 +1,182 @@
+"""FCVSR head/tail decomposition at the full bench shape (272x480, nf=64).
+
+The deployment-path frame is 138.6 ms with MGAA (58.2), SCNet (41.3) and
+MFFR (~8) accounted — this times the remaining ~31 ms so the next target
+is measured, not guessed:
+
+- feat_extract : the 7-frame 3x3 conv (7 -> 448 channels)
+- downcat      : rconcat1/rconcat2 stride-2 convs feeding SCNet
+- tail         : the full upsampling pyramid (upconv L3/L2 + pixel
+                 shuffles + fuse + upconv1/2 + conv_last0) from [l1,l2,l3]
+- base         : the bilinear x4 base resize + final add + NCHW transpose
+- api_in       : (B,T,C,H,W) -> NHWC feats + centre transpose
+
+Usage: python benchmarks/microbench_tail.py [--cpu] [--iters 20] [--only ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from fcvsr_tpu.models.blocks import Conv2d, PReLU, pixel_shuffle
+    from fcvsr_tpu.ops.resize import resize_bilinear
+
+    h, w, nf, t, c = 272, 480, 64, 7, 1
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, shape), jnp.float32)
+
+    bench = {}
+
+    def setup_feat():
+        feats = arr(1, h, w, t * c)
+        conv = Conv2d(t * nf, 3, name="feat_extract")
+        p = conv.init(jax.random.PRNGKey(0), feats)
+        return (lambda v: conv.apply(p, v)), feats, ()
+
+    bench["feat_extract"] = setup_feat
+
+    def setup_downcat():
+        dec = arr(1, h, w, nf)
+
+        class Down(nn.Module):
+            @nn.compact
+            def __call__(self, d):
+                d1 = Conv2d(nf, 3, stride=2, name="rconcat1")(d)
+                d2 = Conv2d(nf, 3, stride=2, name="rconcat2")(d1)
+                return d1, d2
+
+        mod = Down()
+        p = mod.init(jax.random.PRNGKey(0), dec)
+        return (lambda v: mod.apply(p, v)), dec, ()
+
+    bench["downcat"] = setup_downcat
+
+    def setup_tail():
+        l1 = arr(1, h, w, nf)
+        l2 = arr(1, h // 2, w // 2, nf)
+        l3 = arr(1, h // 4, w // 4, nf)
+
+        class Tail(nn.Module):
+            ks: int = 3
+
+            @nn.compact
+            def __call__(self, l1, l2, l3):
+                ks = self.ks
+                lrelu = PReLU(name="lrelu")
+                out_l3 = lrelu(Conv2d(nf, ks, name="upconv1_L3")(l3))
+                out_l3_1 = pixel_shuffle(out_l3)
+                out_l3_2 = pixel_shuffle(out_l3_1)
+                out_l2 = lrelu(Conv2d(nf, ks, name="upconv1_L2")(l2))
+                out_l2 = pixel_shuffle(
+                    out_l2 + Conv2d(nf, ks, name="upconv1_L2_2")(
+                        jnp.concatenate([out_l2, out_l3_1], -1)))
+                fuse = jnp.concatenate([l1, out_l2, out_l3_2], -1)
+                fuse = Conv2d(nf, 3, name="recorb0")(
+                    Conv2d(nf, 3, name="upconv_fuse")(fuse))
+                up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks,
+                                                name="upconv1")(fuse)))
+                up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks,
+                                                name="upconv2")(up)))
+                return Conv2d(c, 3, name="conv_last0")(up)
+
+        mod = Tail()
+        p = mod.init(jax.random.PRNGKey(0), l1, l2, l3)
+        return (lambda v, a, b: mod.apply(p, v, a, b)), l1, (l2, l3)
+
+    bench["tail"] = setup_tail
+
+    def setup_base():
+        center = arr(1, h, w, c)
+        out = arr(1, 4 * h, 4 * w, c)
+
+        def fn(v, o):
+            base = resize_bilinear(v, 4 * h, 4 * w)
+            return jnp.transpose(o + base, (0, 3, 1, 2))
+
+        return fn, center, (out,)
+
+    bench["base"] = setup_base
+
+    def setup_api_in():
+        x = arr(1, t, c, h, w)
+
+        def fn(v):
+            center = jnp.transpose(v[:, t // 2], (0, 2, 3, 1))
+            feats = jnp.transpose(v, (0, 3, 4, 1, 2)).reshape(1, h, w, t * c)
+            return feats, center
+
+        return fn, x, ()
+
+    bench["api_in"] = setup_api_in
+
+    only = [s for s in args.only.split(",") if s]
+    n = args.iters
+    out = {}
+    for name, setup in bench.items():
+        if only and name not in only:
+            continue
+        fn, inp, extras = setup()
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run_n(v, ex, k, fn=fn):
+            def body(i, acc):
+                r = fn(v * (1.0 + 1e-6 * i), *ex)
+                leaves = jax.tree.leaves(r)
+                return acc + sum(jnp.mean(l) for l in leaves)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        try:
+            t0 = time.perf_counter()
+            np.asarray(run_n(inp, extras, 1))
+            compile_s = time.perf_counter() - t0
+            np.asarray(run_n(inp, extras, n))
+
+            def timed(k):
+                t0 = time.perf_counter()
+                val = np.asarray(run_n(inp, extras, k))
+                assert np.isfinite(val)
+                return time.perf_counter() - t0
+
+            base = min(timed(1) for _ in range(2))
+            total = min(timed(n) for _ in range(2))
+            ms = (total - base) / (n - 1) * 1e3
+            out[name] = round(ms, 3)
+            print(f"{name:13s} {ms:9.3f} ms   (compile {compile_s:.1f}s)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:13s} FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            out[name] = None
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
