@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--model", default="fcvsr", choices=["fcvsr", "fcvsr_s"])
     ap.add_argument("--h", type=int, default=272)
     ap.add_argument("--w", type=int, default=480)
     ap.add_argument("--warp", default="pallas")
@@ -56,13 +57,14 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, args.h, args.w)), jnp.float32)
 
     def build(scnet_impl):
-        return FCVSRNet(in_channels=1, warp_impl=args.warp,
-                        batch_mgaa=not args.no_batch_mgaa,
-                        scnet_impl=scnet_impl)
+        cls = FCVSRNet.small if args.model == "fcvsr_s" else FCVSRNet
+        return cls(in_channels=1, warp_impl=args.warp,
+                   batch_mgaa=not args.no_batch_mgaa,
+                   scnet_impl=scnet_impl)
 
     model = build(args.scnet)
     params = model.init(jax.random.PRNGKey(0), x)
-    out = {"warp": args.warp, "scnet": args.scnet,
+    out = {"model": args.model, "warp": args.warp, "scnet": args.scnet,
            "shape": [args.h, args.w]}
 
     if args.delta:

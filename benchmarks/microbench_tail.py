@@ -78,13 +78,17 @@ def main():
 
     bench["downcat"] = setup_downcat
 
-    def setup_tail():
-        l1 = arr(1, h, w, nf)
-        l2 = arr(1, h // 2, w // 2, nf)
-        l3 = arr(1, h // 4, w // 4, nf)
+    def setup_tail(dtype=jnp.float32):
+        last_impl = "rows" if dtype == "rows" else "xla"
+        if dtype == "rows":
+            dtype = jnp.float32
+        l1 = arr(1, h, w, nf).astype(dtype)
+        l2 = arr(1, h // 2, w // 2, nf).astype(dtype)
+        l3 = arr(1, h // 4, w // 4, nf).astype(dtype)
 
         class Tail(nn.Module):
             ks: int = 3
+            last_impl: str = "xla"
 
             @nn.compact
             def __call__(self, l1, l2, l3):
@@ -104,13 +108,114 @@ def main():
                                                 name="upconv1")(fuse)))
                 up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks,
                                                 name="upconv2")(up)))
-                return Conv2d(c, 3, name="conv_last0")(up)
+                return Conv2d(c, 3, impl=self.last_impl,
+                              name="conv_last0")(up)
 
-        mod = Tail()
+        mod = Tail(last_impl=last_impl)
+        p = mod.init(jax.random.PRNGKey(0), l1, l2, l3)
+        p = jax.tree.map(lambda a: a.astype(dtype), p)
+        return (lambda v, a, b: mod.apply(p, v, a, b).astype(jnp.float32)), \
+            l1, (l2, l3)
+
+    bench["tail"] = setup_tail
+
+    # tail internals: which op owns the 21 ms?
+    def setup_upconv2():
+        z = arr(1, 2 * h, 2 * w, nf)
+
+        class U2(nn.Module):
+            @nn.compact
+            def __call__(self, u):
+                lrelu = PReLU(name="lrelu")
+                return lrelu(pixel_shuffle(Conv2d(nf * 4, 3,
+                                                  name="upconv2")(u)))
+
+        mod = U2()
+        p = mod.init(jax.random.PRNGKey(0), z)
+        return (lambda v: mod.apply(p, v)), z, ()
+
+    bench["upconv2"] = setup_upconv2
+
+    def setup_convlast():
+        z = arr(1, 4 * h, 4 * w, nf)
+        conv = Conv2d(c, 3, name="conv_last0")
+        p = conv.init(jax.random.PRNGKey(0), z)
+        return (lambda v: conv.apply(p, v)), z, ()
+
+    bench["convlast"] = setup_convlast
+
+    def setup_convlast_rows():
+        from fcvsr_tpu.ops.pallas_conv import conv3x3_rows_nhwc
+
+        z = arr(1, 4 * h, 4 * w, nf)
+        wgt = arr(3, 3, nf, c)
+        bias = arr(c)
+        interp = jax.default_backend() == "cpu"
+        return (lambda v: conv3x3_rows_nhwc(v, wgt, bias, "mstack",
+                                            interp)), z, ()
+
+    bench["convlast_rows"] = setup_convlast_rows
+
+    def setup_convlast_rows_v(tile_rows, mode):
+        from fcvsr_tpu.ops.pallas_conv import (conv3x3_rows, pad_to_rows,
+                                               prep_weight, rows_to_nhwc)
+
+        z = arr(1, 4 * h, 4 * w, nf)
+        wgt = arr(3, 3, nf, c)
+        bias = arr(c)
+        interp = jax.default_backend() == "cpu"
+
+        def fn(v):
+            y = conv3x3_rows(pad_to_rows(v, tile_rows),
+                             prep_weight(wgt, mode), bias, h=4 * h, w=4 * w,
+                             tile_rows=tile_rows, mode=mode,
+                             interpret=interp)
+            return rows_to_nhwc(y, 4 * h, 4 * w)
+
+        return fn, z, ()
+
+    # tile_rows > 16 is ruled out by the layout (ROW_OFF = 16)
+    bench["convlast_rows_c3"] = functools.partial(setup_convlast_rows_v,
+                                                  16, "cat3")
+
+    def setup_fusepart():
+        # the low-res section: L2/L3 pyramid + fuse + upconv1 block
+        l1 = arr(1, h, w, nf)
+        l2 = arr(1, h // 2, w // 2, nf)
+        l3 = arr(1, h // 4, w // 4, nf)
+
+        class Low(nn.Module):
+            @nn.compact
+            def __call__(self, l1, l2, l3):
+                lrelu = PReLU(name="lrelu")
+                out_l3 = lrelu(Conv2d(nf, 3, name="upconv1_L3")(l3))
+                out_l3_1 = pixel_shuffle(out_l3)
+                out_l3_2 = pixel_shuffle(out_l3_1)
+                out_l2 = lrelu(Conv2d(nf, 3, name="upconv1_L2")(l2))
+                out_l2 = pixel_shuffle(
+                    out_l2 + Conv2d(nf, 3, name="upconv1_L2_2")(
+                        jnp.concatenate([out_l2, out_l3_1], -1)))
+                fuse = jnp.concatenate([l1, out_l2, out_l3_2], -1)
+                fuse = Conv2d(nf, 3, name="recorb0")(
+                    Conv2d(nf, 3, name="upconv_fuse")(fuse))
+                return lrelu(pixel_shuffle(Conv2d(nf * 4, 3,
+                                                  name="upconv1")(fuse)))
+
+        mod = Low()
         p = mod.init(jax.random.PRNGKey(0), l1, l2, l3)
         return (lambda v, a, b: mod.apply(p, v, a, b)), l1, (l2, l3)
 
-    bench["tail"] = setup_tail
+    bench["fusepart"] = setup_fusepart
+    # bf16 params + activations (f32 result): decides whether the tail is
+    # worth a bf16-storage variant — single-conv probes say XLA bf16 NHWC
+    # is SLOWER at 64ch/272x480, but the tail is dominated by 4x-spatial
+    # relayout traffic where halved bytes win.  Measured (TPU, 2026-08-18):
+    # tail 21.23 / tail_bf16 17.38 / tail_rows 19.72 ms.
+    bench["tail_bf16"] = functools.partial(setup_tail, jnp.bfloat16)
+    # the composed tail with conv_last0 on the rows kernel (the
+    # deployment-path routing): in-chain win is 1.5 ms (vs 2.9 standalone
+    # — XLA layout pressure absorbs part of it)
+    bench["tail_rows"] = functools.partial(setup_tail, "rows")
 
     def setup_base():
         center = arr(1, h, w, c)

@@ -174,6 +174,11 @@ class Conv2d(nn.Module):
 
     zero_tail: int = 0  # only meaningful for tuple inputs (_SplitConv)
     out_layout: str = "nhwc"  # 'rows' (with out_select, 1x1): see _SelConv
+    # 'rows': serve through the rows-layout Pallas kernel
+    # (ops/pallas_conv.py::conv3x3_rows_nhwc) — for lane-hostile output
+    # widths (conv_last0's C_out=1 runs at 0.33 TFLOP/s under XLA NHWC).
+    # Same param tree; exact-path gradients via the helper's custom VJP.
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -209,6 +214,18 @@ class Conv2d(nn.Module):
                 bias_init=bias_init, dtype=self.dtype,
                 out_layout=self.out_layout, name="Conv_0")(x)
         assert self.out_layout == "nhwc"
+        if self.impl == "rows" and not self.is_initializing():
+            assert k == 3 and self.stride == 1 and self.groups == 1
+            from ..ops.pallas_conv import conv3x3_rows_nhwc
+
+            p = self.variables["params"]["Conv_0"]
+            # measured @1088x1920 C_out=1: cat3 4.41 ms, mstack 4.83 (both
+            # DMA-bound; mstack's fewer weight-tile reloads only pay off at
+            # wider outputs — 64->64 f32: mstack 0.160 vs cat3 0.359)
+            mode = "cat3" if self.features < 8 else "mstack"
+            return conv3x3_rows_nhwc(
+                x, p["kernel"], p["bias"] if self.use_bias else None,
+                mode, jax.default_backend() == "cpu")
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -219,6 +236,7 @@ class Conv2d(nn.Module):
             kernel_init=kernel_init,
             bias_init=bias_init,
             dtype=self.dtype,
+            name="Conv_0",
         )(x)
 
 

@@ -303,7 +303,12 @@ class FCVSRNet(nn.Module):
 
         up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, name="upconv1")(fuse)))
         up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, name="upconv2")(up)))
-        out = Conv2d(c, 3, name="conv_last0")(up)
+        # deployment path: the C_out=1 conv at (4H, 4W) is lane-hostile
+        # under XLA NHWC (0.33 TFLOP/s, 7.3 of the tail's 21 ms at
+        # 480x272) — serve it through the rows-layout kernel (in-chain
+        # tail 21.2 -> 19.7 ms measured; standalone 7.3 -> 4.4)
+        last_impl = "rows" if self.warp_impl == "pallas" else "xla"
+        out = Conv2d(c, 3, impl=last_impl, name="conv_last0")(up)
 
         base = resize_bilinear(center, 4 * h, 4 * w)
         out = out + base

@@ -42,8 +42,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["conv3x3_rows", "pad_to_rows", "rows_to_nhwc", "prep_weight",
-           "rows_geometry", "ROW_OFF"]
+__all__ = ["conv3x3_rows", "conv3x3_rows_nhwc", "pad_to_rows",
+           "rows_to_nhwc", "prep_weight", "rows_geometry", "ROW_OFF"]
 
 ROW_OFF = 16        # zero rows above the data (one 16-row tile)
 COL_OFF = 1         # zero columns left of the data
@@ -290,3 +290,79 @@ def conv3x3_rows(x_rows, wmat, bias=None, res=None, *, h: int, w: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _nhwc_vmappable(mode, interpret):
+    """custom_vmap folding a mapped axis into the kernel's batch grid: the
+    manual-DMA source input cannot be block-indexed under vmap (same
+    pattern as ops/pallas_iac.py; ETC mode vmaps the whole forward)."""
+
+    def base(x, kernel, bias):
+        h, w = x.shape[1], x.shape[2]
+        y = conv3x3_rows(pad_to_rows(x), prep_weight(kernel, mode), bias,
+                         h=h, w=w, mode=mode, interpret=interpret)
+        return rows_to_nhwc(y, h, w)
+
+    wrapped = jax.custom_batching.custom_vmap(base)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, x, kernel, bias):  # noqa: ANN001
+        xb, kb, bb = in_batched
+        assert xb and not kb, "only activation batching is supported"
+        assert bias is None or not bb
+        out = base(x.reshape((-1,) + x.shape[2:]), kernel, bias)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return wrapped
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_rows_nhwc(x, kernel, bias, mode="mstack", interpret=False):
+    """One NHWC 3x3 SAME conv served by the rows kernel (pad/transpose in,
+    kernel, transpose out).
+
+    The payoff case is a lane-hostile output width: ``conv_last0`` — 3x3
+    at (4H, 4W), C_out=1 (reference CVSR_freq.py:2566/2644) — runs at
+    0.33 TFLOP/s under XLA's NHWC layout (C_out occupies the lane dim),
+    7.3 ms of the 21 ms upsampling tail at 480x272.  In rows layout
+    C_out only sets the matmul M dim and width fills the lanes.
+    ``mode='mstack'`` re-uses each DMA'd input row across its <=3 output
+    rows with one (3*Cout, 3*Cin) matmul — the measured f32 winner
+    (0.160 vs 0.359 ms cat3 at 64->64; M tiny here makes it matter more).
+
+    Differentiable: the VJP is the exact XLA conv backward at the same
+    primals (ops/dcn.py custom-VJP pattern) — serving-path forward,
+    exact-path gradients.
+
+    x: (B, H, W, Cin); kernel: HWIO (3, 3, Cin, Cout); bias: (Cout,) or
+    None.  Numerics match the NHWC conv at TPU serving precision (the
+    MXU runs single-pass bf16 either way); CPU comparisons see bf16
+    rounding.
+    """
+    return _nhwc_vmappable(mode, interpret)(x, kernel, bias)
+
+
+def _nhwc_ref(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y if bias is None else y + bias
+
+
+def _rows_nhwc_fwd(x, kernel, bias, mode="mstack", interpret=False):
+    return _nhwc_vmappable(mode, interpret)(x, kernel, bias), \
+        (x, kernel, bias)
+
+
+def _rows_nhwc_bwd(mode, interpret, res, g):
+    x, kernel, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda a, k: _nhwc_ref(a, k, None), x, kernel)
+        gx, gk = vjp(g)
+        return gx, gk, None
+    _, vjp = jax.vjp(_nhwc_ref, x, kernel, bias)
+    return vjp(g)
+
+
+conv3x3_rows_nhwc.defvjp(_rows_nhwc_fwd, _rows_nhwc_bwd)

@@ -150,3 +150,62 @@ def test_fused_residual():
         yz = np.asarray(y).copy()
         yz[:, ROW_OFF : ROW_OFF + h, :, 1 : 1 + w] = 0.0
         assert np.abs(yz).max() == 0.0
+
+
+def test_nhwc_wrapper_cout1():
+    """conv3x3_rows_nhwc at the conv_last0 shape class (C_out=1, bias):
+    matches the XLA conv at serving precision, exact-path gradients, and
+    folds a vmapped axis into the kernel batch grid."""
+    from fcvsr_tpu.ops.pallas_conv import conv3x3_rows_nhwc
+
+    h, w, c = 24, 40, 16
+    x = jnp.asarray(RNG.standard_normal((2, h, w, c)), jnp.float32)
+    wgt = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, 1)), jnp.float32)
+    bvec = jnp.asarray([0.05], jnp.float32)
+
+    got = conv3x3_rows_nhwc(x, wgt, bvec, "mstack", True)
+    ref = _xla_conv(x, wgt, bvec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    # exact-path gradients: with a FIXED upstream cotangent the custom
+    # VJP must match the XLA conv VJP bit-level (both run the exact conv
+    # backward at the same primals; only the primal output is bf16-rounded)
+    ct = jnp.asarray(RNG.standard_normal(got.shape), jnp.float32)
+
+    def ref_fn(a, k, b):
+        return jax.lax.conv_general_dilated(
+            a, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    _, vjp_rows = jax.vjp(
+        lambda a, k, b: conv3x3_rows_nhwc(a, k, b, "mstack", True),
+        x, wgt, bvec)
+    _, vjp_ref = jax.vjp(ref_fn, x, wgt, bvec)
+    for gr, gf in zip(vjp_rows(ct), vjp_ref(ct)):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   rtol=1e-6, atol=1e-6)
+
+    # vmap folds into the batch grid (ETC mode)
+    xv = jnp.asarray(RNG.standard_normal((3, 2, h, w, c)), jnp.float32)
+    got_v = jax.vmap(lambda a: conv3x3_rows_nhwc(a, wgt, bvec, "mstack",
+                                                 True))(xv)
+    got_seq = jnp.stack([conv3x3_rows_nhwc(xv[i], wgt, bvec, "mstack", True)
+                         for i in range(3)])
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(got_seq),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_conv2d_rows_impl_matches_xla():
+    """Conv2d(impl='rows') serves the same params/computation as the
+    default impl (bf16 serving tolerance) — the conv_last0 routing."""
+    from fcvsr_tpu.models.blocks import Conv2d
+
+    x = jnp.asarray(RNG.standard_normal((1, 24, 40, 16)), jnp.float32)
+    mod_x = Conv2d(1, 3)
+    mod_r = Conv2d(1, 3, impl="rows")
+    params = mod_x.init(jax.random.PRNGKey(0), x)
+    y_x = mod_x.apply(params, x)
+    y_r = mod_r.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_x),
+                               rtol=2e-2, atol=2e-2)
