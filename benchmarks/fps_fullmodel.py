@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--w", type=int, default=480)
     ap.add_argument("--warp", default="pallas")
     ap.add_argument("--scnet", default="rows")
+    ap.add_argument("--tail", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--iac", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--no-batch-mgaa", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--delta", action="store_true",
@@ -56,20 +58,22 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, args.h, args.w)), jnp.float32)
 
-    def build(scnet_impl):
+    def build(scnet_impl, tail_dtype="f32", iac_dtype="f32"):
         cls = FCVSRNet.small if args.model == "fcvsr_s" else FCVSRNet
         return cls(in_channels=1, warp_impl=args.warp,
                    batch_mgaa=not args.no_batch_mgaa,
-                   scnet_impl=scnet_impl)
+                   scnet_impl=scnet_impl, tail_dtype=tail_dtype,
+                   iac_dtype=iac_dtype)
 
-    model = build(args.scnet)
+    model = build(args.scnet, args.tail, args.iac)
     params = model.init(jax.random.PRNGKey(0), x)
     out = {"model": args.model, "warp": args.warp, "scnet": args.scnet,
-           "shape": [args.h, args.w]}
+           "tail": args.tail, "iac": args.iac, "shape": [args.h, args.w]}
 
     if args.delta:
-        y_var = np.asarray(model.apply(params, x))
-        y_ref = np.asarray(build("rows").apply(params, x))
+        # jit both applies: eager through the axon tunnel is ~0.3s/dispatch
+        y_var = np.asarray(jax.jit(model.apply)(params, x))
+        y_ref = np.asarray(jax.jit(build("rows").apply)(params, x))
         d = np.abs(y_var - y_ref)
         mse = float(np.mean((y_var - y_ref) ** 2))
         out["delta_max"] = float(d.max())

@@ -65,14 +65,18 @@ def main():
     # ---- full module ----
     x3 = arr(1, h, w, 3 * d)
 
-    def setup_mgaa(batch):
-        mgaa = MGAA(dim=d, ac_num=ac, warp_impl="pallas", batch_fb=True)
+    def setup_mgaa(batch, iac_dtype="f32"):
+        mgaa = MGAA(dim=d, ac_num=ac, warp_impl="pallas", batch_fb=True,
+                    iac_dtype=iac_dtype)
         p_mgaa = mgaa.init(jax.random.PRNGKey(0), x3)
         v = x3 if batch == 1 else arr(batch, h, w, 3 * d)
         return (lambda u: mgaa.apply(p_mgaa, u)), v
 
     bench["mgaa_full"] = lambda: setup_mgaa(1)
     bench["mgaa_b2"] = lambda: setup_mgaa(2)
+    # bf16-storage IAC chain (F1 emits bf16 rows kernels; fused chain at
+    # half HBM traffic — ops/pallas_iac.py)
+    bench["mgaa_bf16"] = lambda: setup_mgaa(1, "bf16")
 
     def setup_noiac():
         """The full module with iac() monkeypatched to identity: measures
@@ -110,6 +114,14 @@ def main():
         lambda v, pk, of: iac(v, pk, of, ac, d, 3, kernel1_both=True,
                               k1_only=True, warp_impl="pallas",
                               k_tap_major=True),
+        feat, (pred_k, offs))
+    # bf16 storage: src/kernels/residual/output at half HBM bytes
+    bench["iac6_bf16"] = lambda: (
+        lambda v, pk, of: iac(v.astype(jnp.bfloat16),
+                              pk.astype(jnp.bfloat16), of, ac, d, 3,
+                              kernel1_both=True, k1_only=True,
+                              warp_impl="pallas",
+                              k_tap_major=True).astype(jnp.float32),
         feat, (pred_k, offs))
 
     # ---- kernel predictor (KP -> F0 -> F1 with out_select) ----

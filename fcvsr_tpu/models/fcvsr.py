@@ -52,6 +52,10 @@ class MGAA(nn.Module):
     corr_radius: int = 4
     kernel1_both: bool = True  # reference SAC bug (CVSR_freq.py:1272-1273)
     warp_impl: str = "gather"  # 'pallas' = fused IAC kernel (ops/pallas_iac.py)
+    # 'bf16': bf16-storage IAC chain (pallas only) — F1 emits bf16 rows
+    # kernels and the fused chain keeps src/kernels/residual/output at
+    # half HBM traffic (ops/pallas_iac.py); arithmetic stays f32.
+    iac_dtype: str = "f32"
     # Batch the per-direction ConvBlk calls (f/b) along the batch axis.
     # CPU-exact, but that axis is the data-sharded one (concat/split forces
     # resharding collectives on a mesh) and the round-2 full-shape run
@@ -165,18 +169,26 @@ class MGAA(nn.Module):
                         for t in range(self.ac_ks)
                         for c in range(d))
             k_rows = split
+            # bf16 IAC storage: F1 emits bf16 rows kernels directly (the
+            # ~600MB/chain tensor is written AND re-read at half width)
+            bf16 = split and self.iac_dtype == "bf16"
             pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1",
                             out_select=sel,
+                            dtype=jnp.bfloat16 if bf16 else None,
                             out_layout="rows" if k_rows else "nhwc")(f0)
         else:
             k_rows = False
+            bf16 = False
             pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1")(f0)
 
-        aligned_f = iac(x1, pred_k, offsets_f, self.ac_num, d, self.ac_ks,
+        sd = jnp.bfloat16 if bf16 else None
+        x1s = x1.astype(sd) if sd else x1
+        x3s = x3.astype(sd) if sd else x3
+        aligned_f = iac(x1s, pred_k, offsets_f, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
                         k1_only=self.kernel1_both, warp_impl=self.warp_impl,
                         k_tap_major=self.kernel1_both, k_rows=k_rows)
-        aligned_b = iac(x3, pred_k, offsets_b, self.ac_num, d, self.ac_ks,
+        aligned_b = iac(x3s, pred_k, offsets_b, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
                         k1_only=self.kernel1_both, warp_impl=self.warp_impl,
                         k_tap_major=self.kernel1_both, k_rows=k_rows)
@@ -236,6 +248,17 @@ class FCVSRNet(nn.Module):
     use_remat: bool = False  # rematerialize MGAA/SCNet (trade FLOPs for HBM)
     warp_impl: str = "gather"  # 'pallas' = fused IAC kernel (ops/pallas_iac.py)
     scnet_impl: str = "xla"  # 'rows' = Pallas rows-layout SCNet (scnet_rows.py)
+    # 'bf16': bf16-storage fused IAC chain inside MGAA (pallas path only;
+    # see MGAA.iac_dtype) — halves the chain's HBM traffic.
+    iac_dtype: str = "f32"
+    # 'bf16': bf16-storage upsampling tail (SCNet outputs -> conv_last0).
+    # The tail is relayout/bandwidth-bound at 4x spatial size — measured
+    # 21.2 -> 17.4 ms @480x272 (benchmarks/microbench_tail.py tail_bf16).
+    # Matmul precision is single-pass bf16 either way on this chip; the
+    # numerics change is bf16 *storage* rounding between tail convs
+    # (bounded-deviation --fast contract, like scnet_impl='rows_bf16').
+    # Params stay f32 (flax dtype= casts at compute).
+    tail_dtype: str = "f32"
     # Batch the two independent shared-weight MGAA calls (and MGAA's f/b
     # ConvBlks) along the batch axis.  CPU-exact; opt-in because the batch
     # axis is the data-sharded one under DP training and the old TPU
@@ -260,7 +283,7 @@ class FCVSRNet(nn.Module):
         mgaa_cls = nn.remat(MGAA) if self.use_remat else MGAA
         mgaa = mgaa_cls(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num,
                         warp_impl=self.warp_impl, batch_fb=self.batch_mgaa,
-                        name="MGAA")
+                        iac_dtype=self.iac_dtype, name="MGAA")
 
         feat = Conv2d(t * nf, 3, name="feat_extract")(feats)
         f1 = feat[..., : 3 * nf]
@@ -288,27 +311,34 @@ class FCVSRNet(nn.Module):
                                name="recorb1")([dec, dec1, dec2])
 
         ks = self.up_ksize
-        out_l3 = lrelu(Conv2d(nf, ks, name="upconv1_L3")(l3))
+        td = jnp.bfloat16 if self.tail_dtype == "bf16" else None
+        if td is not None:
+            l1, l2, l3 = l1.astype(td), l2.astype(td), l3.astype(td)
+        out_l3 = lrelu(Conv2d(nf, ks, dtype=td, name="upconv1_L3")(l3))
         out_l3_1 = pixel_shuffle(out_l3)       # (nf/4, H/2)
         out_l3_2 = pixel_shuffle(out_l3_1)     # (nf/16, H)
-        out_l2 = lrelu(Conv2d(nf, ks, name="upconv1_L2")(l2))
+        out_l2 = lrelu(Conv2d(nf, ks, dtype=td, name="upconv1_L2")(l2))
         out_l2 = pixel_shuffle(
             out_l2
-            + Conv2d(nf, ks, name="upconv1_L2_2")(
+            + Conv2d(nf, ks, dtype=td, name="upconv1_L2_2")(
                 jnp.concatenate([out_l2, out_l3_1], -1)
             )
         )  # (nf/4, H)
         fuse = jnp.concatenate([l1, out_l2, out_l3_2], -1)
-        fuse = Conv2d(nf, 3, name="recorb0")(Conv2d(nf, 3, name="upconv_fuse")(fuse))
+        fuse = Conv2d(nf, 3, dtype=td, name="recorb0")(
+            Conv2d(nf, 3, dtype=td, name="upconv_fuse")(fuse))
 
-        up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, name="upconv1")(fuse)))
-        up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, name="upconv2")(up)))
+        up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, dtype=td,
+                                        name="upconv1")(fuse)))
+        up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, dtype=td,
+                                        name="upconv2")(up)))
         # deployment path: the C_out=1 conv at (4H, 4W) is lane-hostile
         # under XLA NHWC (0.33 TFLOP/s, 7.3 of the tail's 21 ms at
         # 480x272) — serve it through the rows-layout kernel (in-chain
         # tail 21.2 -> 19.7 ms measured; standalone 7.3 -> 4.4)
         last_impl = "rows" if self.warp_impl == "pallas" else "xla"
-        out = Conv2d(c, 3, impl=last_impl, name="conv_last0")(up)
+        out = Conv2d(c, 3, dtype=td, impl=last_impl, name="conv_last0")(up)
+        out = out.astype(jnp.float32)
 
         base = resize_bilinear(center, 4 * h, 4 * w)
         out = out + base

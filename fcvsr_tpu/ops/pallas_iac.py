@@ -110,7 +110,7 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
         @pl.when(jnp.logical_not(is_data))
         def _ring():
             # vertical zero ring: keeps the output a valid warp source
-            out_ref[0] = jnp.zeros((th, c, wp), jnp.float32)
+            out_ref[0] = jnp.zeros((th, c, wp), out_ref.dtype)
 
         @pl.when(is_data)
         def _data():
@@ -158,8 +158,14 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
             # (base_x - r + pad_l) lands on lane 0; taps then use static
             # slices.  No wraparound reads: max used lane =
             # (w-1) + (nx-1) + col0_max < wp by padding choice.
+            # bf16 storage: widen BEFORE the roll (pltpu.roll on bf16
+            # 16-sublane tiling crashes the Mosaic compile helper — same
+            # constraint as ops/pallas_conv.py).
             col0 = base_x - r + pad_l
-            rolled = pltpu.roll(win[...], wp - col0, axis=2)
+            full = win[...]
+            if full.dtype != jnp.float32:
+                full = full.astype(jnp.float32)
+            rolled = pltpu.roll(full, wp - col0, axis=2)
 
             # ---- separable bilinear stencil: (2r+2)^2 static shifted
             # fmas, accumulated directly in the rows (rows, C, W) layout
@@ -182,6 +188,7 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
             wpad = jnp.concatenate(
                 [warped[0:1], warped, warped[wh - 1 : wh]], 0)
             kts = [k_ref[0, :, tap * c : (tap + 1) * c, :]
+                   .astype(jnp.float32)
                    for tap in range(3)]  # (th, c, w) each
 
             # m0 is 1 on interior tiles, 0/2 on the first/last tile;
@@ -205,14 +212,14 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
             # embed at the lane offset, add the (ring-zero) residual —
             # the ring stays zero through the add and the leaky relu
             out = jnp.pad(out, ((0, 0), (0, 0), (pad_l, wp - pad_l - w)))
-            out = out + fin_ref[0]
+            out = out + fin_ref[0].astype(jnp.float32)
             if act:
                 out = jnp.where(out >= 0, out, 0.1 * out)
-            out_ref[0] = out
+            out_ref[0] = out.astype(out_ref.dtype)
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((wrows, c, wp), jnp.float32),
+        pltpu.VMEM((wrows, c, wp), src_hbm.dtype),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -272,7 +279,10 @@ def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
         ],
         out_specs=pl.BlockSpec((1, th, c, wp),
                                lambda bi, tip: (bi, tip, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), jnp.float32),
+        # storage dtype follows the source: bf16 inputs keep the whole
+        # chain (src window DMA + kernels + residual + output) at half
+        # HBM traffic; all arithmetic stays f32 in-kernel
+        out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), src.dtype),
         # the 36-tap stencil's temporaries push past the 16M default
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -359,10 +369,18 @@ def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
     arrive rows-transposed as (B, H, ac_num*3*C, W) — MGAA's predictor
     emits this directly (Conv2d out_layout='rows'), skipping a transpose
     whose full-shape tensor is ~600MB.
+
+    Storage dtype follows the inputs: bf16 ``feat_in``/``pred_k`` halve
+    the chain's HBM traffic (window DMAs, kernel blocks, residual, chained
+    outputs); all in-kernel arithmetic stays f32 and the MXU-free stencil
+    is unchanged, so the only numerics change is bf16 storage rounding
+    between iterations (the MGAA ``iac_dtype='bf16'`` deployment flag).
     """
     b, h, w, c = feat_in.shape
     if c % 8:
         raise ValueError(f"C={c} must be a multiple of 8 (sublane tiling)")
+    if feat_in.dtype == jnp.bfloat16 and c % 16:
+        raise ValueError(f"C={c} must be a multiple of 16 for bf16 storage")
     pad_v, pad_l, pad_r, wp, _ = _geometry(h, w, radius)
     if not tile_rows:
         tile_rows = _auto_tile_rows(h, pad_v)

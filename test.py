@@ -161,8 +161,10 @@ def main(argv=None):
         # rows_bf16: bf16-storage SCNet chain — 7.22 vs 6.39 fps full
         # @480x272; output moves <0.006 abs (60.6 dB PSNR vs the f32
         # chain), inside the --fast bounded-deviation contract.
+        # tail_dtype='bf16': bf16-storage upsampling tail (21.2 -> 17.4 ms).
         model = dataclasses.replace(model, warp_impl="pallas",
-                                    batch_mgaa=True, scnet_impl="rows_bf16")
+                                    batch_mgaa=True, scnet_impl="rows_bf16",
+                                    tail_dtype="bf16")
     x0 = jnp.zeros((1, 7, cfg.model.in_channels, 16, 16), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0)
 

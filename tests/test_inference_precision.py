@@ -50,3 +50,44 @@ def test_cast_params_dtypes(small):
     p16 = cast_params(params)
     leaves = jax.tree.leaves(p16)
     assert all(l.dtype == jnp.bfloat16 for l in leaves)
+
+
+def test_bf16_tail_bounded_deviation(small):
+    """tail_dtype='bf16' (deployment tail) shares the f32 param tree and
+    stays within the --fast bounded-deviation contract."""
+    import dataclasses
+
+    model, params = small
+    x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 7, 1, 16, 16)),
+                    jnp.float32)
+    m16 = dataclasses.replace(model, tail_dtype="bf16")
+    # same param tree: init must produce identical shapes/dtypes
+    p16 = m16.init(jax.random.PRNGKey(0), x)
+    chex = jax.tree.map(lambda a, b: a.shape == b.shape
+                        and a.dtype == b.dtype, params, p16)
+    assert all(jax.tree.leaves(chex))
+
+    f32 = np.asarray(model.apply(params, x))
+    b16 = np.asarray(m16.apply(params, x))
+    assert b16.dtype == np.float32
+    d = np.abs(b16 - f32)
+    # storage rounding only: the same bound class as scnet rows_bf16
+    assert d.max() < 0.02 and d.mean() < 2e-3
+
+
+def test_bf16_tail_with_rows_convlast(small):
+    """The full deployment tail combination (bf16 tail + rows conv_last0
+    via warp_impl='pallas') runs under jit on the CPU mesh and stays
+    bounded vs the exact path."""
+    import dataclasses
+
+    model, params = small
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (1, 7, 1, 16, 16)),
+                    jnp.float32)
+    mdep = dataclasses.replace(model, warp_impl="pallas", batch_mgaa=True,
+                               tail_dtype="bf16")
+    f32 = np.asarray(model.apply(params, x))
+    dep = np.asarray(jax.jit(mdep.apply)(params, x))
+    d = np.abs(dep - f32)
+    # pallas IAC bounded deviation + bf16 storage rounding
+    assert d.max() < 0.05 and d.mean() < 5e-3

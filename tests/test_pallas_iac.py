@@ -145,3 +145,47 @@ def test_iac_pallas_vmap_folds_to_batch():
     lp = jnp.stack([one(feat[i], pred[i], offs[i]) for i in range(v)])
     np.testing.assert_allclose(np.asarray(vm), np.asarray(lp),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_iac_fused_bf16_storage_bounded():
+    """bf16-storage chain (iac_dtype='bf16' deployment flag): bounded
+    deviation vs the f32 fused chain — storage rounding only."""
+    b, h, w, c, ac = 1, 16, 24, 16, 3
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(
+        0.3 * RNG.standard_normal((b, h, ac * 3 * c, w)), jnp.float32)
+    offs = jnp.asarray(RNG.uniform(-1.4, 1.4, (ac, b, h, w, 2)), jnp.float32)
+
+    f32 = iac_fused(feat_in, pred_k, offs, ac, c, k_rows=True,
+                    tile_rows=8, interpret=True)
+    b16 = iac_fused(feat_in.astype(jnp.bfloat16),
+                    pred_k.astype(jnp.bfloat16), offs, ac, c, k_rows=True,
+                    tile_rows=8, interpret=True)
+    assert b16.dtype == jnp.bfloat16
+    d = np.abs(np.asarray(b16, np.float32) - np.asarray(f32))
+    scale = np.abs(np.asarray(f32)).max()
+    assert d.max() < 0.05 * scale and d.mean() < 5e-3 * scale
+
+
+def test_mgaa_iac_bf16_flag_bounded():
+    """FCVSRNet(iac_dtype='bf16') shares the param tree with the f32
+    deployment model and stays within the bounded-deviation contract."""
+    import dataclasses
+
+    from fcvsr_tpu.models import FCVSRNet
+
+    model = FCVSRNet.small(in_channels=1, warp_impl="pallas",
+                           batch_mgaa=True)
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 7, 1, 16, 16)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    m16 = dataclasses.replace(model, iac_dtype="bf16")
+    p16 = m16.init(jax.random.PRNGKey(0), x)
+    same = jax.tree.map(lambda a, b: a.shape == b.shape
+                        and a.dtype == b.dtype, params, p16)
+    assert all(jax.tree.leaves(same))
+
+    f32 = np.asarray(model.apply(params, x))
+    b16 = np.asarray(m16.apply(params, x))
+    assert b16.dtype == np.float32
+    d = np.abs(b16 - f32)
+    assert d.max() < 0.05 and d.mean() < 5e-3
