@@ -85,11 +85,12 @@ def make(name, **kw):
         # + batch-axis MGAA batching (CPU-exact; finite-probed below)
         # + bf16-storage rows-layout Pallas SCNet (models/scnet_rows.py;
         #   60.6 dB PSNR vs the f32 chain — measured round 3)
-        # + bf16-storage upsampling tail w/ rows-kernel conv_last0
-        # + bf16-storage fused IAC chain (8.28 fps total; 62.7 dB vs f32)
+        # + bf16-storage upsampling tail, polyphase-folded to (H, W)
+        #   (ops/psfold.py — exact kernel rearrangement)
+        # + bf16-storage fused IAC chain (8.67 fps total; 62.7 dB vs f32)
         return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
                         scnet_impl="rows_bf16", tail_dtype="bf16",
-                        iac_dtype="bf16", **kw)
+                        iac_dtype="bf16", tail_impl="folded", **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
     if name == "edvr_pallas":

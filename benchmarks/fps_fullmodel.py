@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--scnet", default="rows")
     ap.add_argument("--tail", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--iac", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--tail-impl", default="xla", choices=["xla", "folded"])
     ap.add_argument("--no-batch-mgaa", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--delta", action="store_true",
@@ -58,17 +59,19 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, args.h, args.w)), jnp.float32)
 
-    def build(scnet_impl, tail_dtype="f32", iac_dtype="f32"):
+    def build(scnet_impl, tail_dtype="f32", iac_dtype="f32",
+              tail_impl="xla"):
         cls = FCVSRNet.small if args.model == "fcvsr_s" else FCVSRNet
         return cls(in_channels=1, warp_impl=args.warp,
                    batch_mgaa=not args.no_batch_mgaa,
                    scnet_impl=scnet_impl, tail_dtype=tail_dtype,
-                   iac_dtype=iac_dtype)
+                   iac_dtype=iac_dtype, tail_impl=tail_impl)
 
-    model = build(args.scnet, args.tail, args.iac)
+    model = build(args.scnet, args.tail, args.iac, args.tail_impl)
     params = model.init(jax.random.PRNGKey(0), x)
     out = {"model": args.model, "warp": args.warp, "scnet": args.scnet,
-           "tail": args.tail, "iac": args.iac, "shape": [args.h, args.w]}
+           "tail": args.tail, "iac": args.iac, "tail_impl": args.tail_impl,
+           "shape": [args.h, args.w]}
 
     if args.delta:
         # jit both applies: eager through the axon tunnel is ~0.3s/dispatch

@@ -259,6 +259,12 @@ class FCVSRNet(nn.Module):
     # (bounded-deviation --fast contract, like scnet_impl='rows_bf16').
     # Params stay f32 (flax dtype= casts at compute).
     tail_dtype: str = "f32"
+    # 'folded': polyphase-fold the upconv1/upconv2/conv_last0 cascade so
+    # the whole upsampling tail runs at (H, W) with wide channels and no
+    # (2H,2W)/(4H,4W) intermediates (ops/psfold.py) — mathematically the
+    # same function (kernel rearrangement of the live params; exact up to
+    # fp reassociation), so it composes with either tail_dtype.
+    tail_impl: str = "xla"
     # Batch the two independent shared-weight MGAA calls (and MGAA's f/b
     # ConvBlks) along the batch axis.  CPU-exact; opt-in because the batch
     # axis is the data-sharded one under DP training and the old TPU
@@ -328,16 +334,46 @@ class FCVSRNet(nn.Module):
         fuse = Conv2d(nf, 3, dtype=td, name="recorb0")(
             Conv2d(nf, 3, dtype=td, name="upconv_fuse")(fuse))
 
-        up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, dtype=td,
-                                        name="upconv1")(fuse)))
-        up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, dtype=td,
-                                        name="upconv2")(up)))
-        # deployment path: the C_out=1 conv at (4H, 4W) is lane-hostile
-        # under XLA NHWC (0.33 TFLOP/s, 7.3 of the tail's 21 ms at
-        # 480x272) — serve it through the rows-layout kernel (in-chain
-        # tail 21.2 -> 19.7 ms measured; standalone 7.3 -> 4.4)
-        last_impl = "rows" if self.warp_impl == "pallas" else "xla"
-        out = Conv2d(c, 3, dtype=td, impl=last_impl, name="conv_last0")(up)
+        if self.tail_impl == "folded" and not self.is_initializing():
+            # polyphase-folded cascade (ops/psfold.py): identical function,
+            # computed at (H, W) — no (2H,2W)/(4H,4W) intermediates, no
+            # big-tensor shuffle relayouts.  Kernels are rearranged from
+            # the live params each call (small tensors; differentiable).
+            from ..ops.psfold import fold_ps_bias, fold_ps_conv
+
+            p = self.variables["params"]
+
+            def conv(v, kern, bias):
+                pad = (kern.shape[0] - 1) // 2
+                y = jax.lax.conv_general_dilated(
+                    v, kern.astype(v.dtype), (1, 1),
+                    ((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return y + bias.astype(v.dtype)
+
+            w1, b1 = (p["upconv1"]["Conv_0"][k] for k in ("kernel", "bias"))
+            w2, b2 = (p["upconv2"]["Conv_0"][k] for k in ("kernel", "bias"))
+            wl, bl = (p["conv_last0"]["Conv_0"][k]
+                      for k in ("kernel", "bias"))
+            a = lrelu(conv(fuse, w1, b1))                      # (H,W,4nf)
+            bmid = lrelu(conv(a, fold_ps_conv(w2, 2),
+                              fold_ps_bias(b2, 2)))            # (H,W,16nf)
+            wl2 = fold_ps_conv(fold_ps_conv(wl, 2), 2)
+            y16 = conv(bmid, wl2,
+                       fold_ps_bias(fold_ps_bias(bl, 2), 2))   # (H,W,16c)
+            out = pixel_shuffle(pixel_shuffle(y16))
+        else:
+            up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, dtype=td,
+                                            name="upconv1")(fuse)))
+            up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, dtype=td,
+                                            name="upconv2")(up)))
+            # deployment path: the C_out=1 conv at (4H, 4W) is
+            # lane-hostile under XLA NHWC (0.33 TFLOP/s, 7.3 of the
+            # tail's 21 ms at 480x272) — serve it through the rows-layout
+            # kernel (in-chain tail 21.2 -> 19.7 ms; standalone 7.3 -> 4.4)
+            last_impl = "rows" if self.warp_impl == "pallas" else "xla"
+            out = Conv2d(c, 3, dtype=td, impl=last_impl,
+                         name="conv_last0")(up)
         out = out.astype(jnp.float32)
 
         base = resize_bilinear(center, 4 * h, 4 * w)

@@ -162,12 +162,16 @@ def main(argv=None):
         # @480x272; output moves <0.006 abs (60.6 dB PSNR vs the f32
         # chain), inside the --fast bounded-deviation contract.
         # tail_dtype='bf16': bf16-storage upsampling tail (21.2 -> 17.4 ms).
-        # iac_dtype='bf16': bf16-storage fused IAC chain.  Full deployment
-        # path 8.28 fps @480x272; output delta vs the f32 chain max 0.0042
-        # (62.7 dB PSNR) — the --fast bounded-deviation contract.
+        # iac_dtype='bf16': bf16-storage fused IAC chain.
+        # tail_impl='folded': polyphase-folded upsampling tail
+        # (ops/psfold.py) — same function, computed at (H, W).
+        # Full deployment path 8.67 fps @480x272; output delta vs the f32
+        # chain max 0.0042 (62.7 dB PSNR) — the --fast bounded-deviation
+        # contract.
         model = dataclasses.replace(model, warp_impl="pallas",
                                     batch_mgaa=True, scnet_impl="rows_bf16",
-                                    tail_dtype="bf16", iac_dtype="bf16")
+                                    tail_dtype="bf16", iac_dtype="bf16",
+                                    tail_impl="folded")
     x0 = jnp.zeros((1, 7, cfg.model.in_channels, 16, 16), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0)
 
