@@ -109,28 +109,30 @@ def _context_block(cp, x, h, w, tile_rows):
             * vm[None, :, None, :]).astype(x.dtype)
 
 
-def _rcb(rp, x, h, w, tile_rows, interpret):
-    res = conv3x3_rows(x, prep_weight(_k(rp["body0"])), None, h=h, w=w,
-                       act=True, neg_slope=0.2, tile_rows=tile_rows,
+def _rcb(rp, x, h, w, tile_rows, interpret, mode):
+    res = conv3x3_rows(x, prep_weight(_k(rp["body0"]), mode), None, h=h,
+                       w=w, act=True, neg_slope=0.2, tile_rows=tile_rows,
+                       mode=mode, interpret=interpret)
+    res = conv3x3_rows(res, prep_weight(_k(rp["body1"]), mode), None, h=h,
+                       w=w, tile_rows=tile_rows, mode=mode,
                        interpret=interpret)
-    res = conv3x3_rows(res, prep_weight(_k(rp["body1"])), None, h=h, w=w,
-                       tile_rows=tile_rows, interpret=interpret)
     res = _context_block(rp["gcnet"], res, h, w, tile_rows)
     res = jnp.where(res >= 0, res, 0.2 * res)
     return x + res
 
 
-def _block_rcb(bp, x_list, shapes, tile_rows, interpret):
+def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode):
     """BlockRCB (CVSR_freq.py:729-777) over the [L1, L2, L3] pyramid."""
 
     def body(x, hw):
         h, w = hw
-        y = conv3x3_rows(x, prep_weight(_k(bp["body0"])), _b(bp["body0"]),
-                         h=h, w=w, act=True, neg_slope=0.1,
-                         tile_rows=tile_rows, interpret=interpret)
-        y = conv3x3_rows(y, prep_weight(_k(bp["body1"])), _b(bp["body1"]),
-                         h=h, w=w, tile_rows=tile_rows, interpret=interpret)
-        return _rcb(bp["rcb"], y, h, w, tile_rows, interpret)
+        y = conv3x3_rows(x, prep_weight(_k(bp["body0"]), mode),
+                         _b(bp["body0"]), h=h, w=w, act=True, neg_slope=0.1,
+                         tile_rows=tile_rows, mode=mode, interpret=interpret)
+        y = conv3x3_rows(y, prep_weight(_k(bp["body1"]), mode),
+                         _b(bp["body1"]), h=h, w=w, tile_rows=tile_rows,
+                         mode=mode, interpret=interpret)
+        return _rcb(bp["rcb"], y, h, w, tile_rows, interpret, mode)
 
     res = [body(x, s) for x, s in zip(x_list, shapes)]
     down = [res[0]]
@@ -147,12 +149,20 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret):
 
 def scnet_rows_apply(params, x_list, num_groups: int = 10,
                      tile_rows: int = 16, interpret: bool = False,
-                     chain_dtype=jnp.float32):
+                     chain_dtype=jnp.float32, mode: str = "cat3"):
     """Replay SCNet (models/blocks.py::SCNet) on its own param pytree.
 
     params: the SCNet module's params subtree; x_list: NHWC [L1, L2, L3].
     Returns NHWC outputs identical (at serving precision) to
     ``SCNet.apply``.
+
+    ``mode`` selects the kernel's matmul decomposition (ops/pallas_conv).
+    Measured @272x480 (same-process A/B, TPU): the chain is
+    DMA-serialization-bound, not matmul-bound — 'mstack' wins the
+    *isolated* conv 2.9x (0.117 vs 0.338 ms; double-buffered DMA fully
+    hidden when re-reading one buffer) but in-chain, where every window
+    DMA waits on the previous conv's freshly-written output, cat3/mstack
+    are 60.2/60.5 ms f32 and 41.2/43.4 bf16 — cat3 stays the default.
     """
     shapes = [(int(x.shape[1]), int(x.shape[2])) for x in x_list]
     xs = [pad_to_rows(x, tile_rows).astype(chain_dtype) for x in x_list]
@@ -162,13 +172,13 @@ def scnet_rows_apply(params, x_list, num_groups: int = 10,
         gin = list(res)
         for j in range(3):
             res = _block_rcb(gp[f"block{j}"], res, shapes, tile_rows,
-                             interpret)
-        wk = prep_weight(_k(gp["conv"]))
+                             interpret, mode)
+        wk = prep_weight(_k(gp["conv"]), mode)
         wb = _b(gp["conv"])
         # the group residual rides the conv kernel's fused-res input (one
         # HBM pass instead of conv-out + separate read-modify-write add)
         res = [conv3x3_rows(r, wk, wb, res=x, h=h, w=w, tile_rows=tile_rows,
-                            interpret=interpret)
+                            mode=mode, interpret=interpret)
                for x, r, (h, w) in zip(gin, res, shapes)]
     out = [x + r for x, r in zip(xs, res)]
     return [rows_to_nhwc(y, h, w).astype(jnp.float32)
