@@ -29,8 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_conv import (COL_OFF, ROW_OFF, conv3x3_rows, pad_to_rows,
-                               prep_weight, rows_geometry, rows_to_nhwc)
+from ..ops.pallas_conv import (COL_OFF, ROW_OFF, conv3x3_pair_rows,
+                               conv3x3_rows, pad_to_rows, prep_weight,
+                               rows_geometry, rows_to_nhwc)
 from ..ops.resize import _linear_weight_matrix
 
 __all__ = ["scnet_rows_apply", "scnet_rows_diff"]
@@ -110,12 +111,13 @@ def _context_block(cp, x, h, w, tile_rows):
 
 
 def _rcb(rp, x, h, w, tile_rows, interpret, mode):
-    res = conv3x3_rows(x, prep_weight(_k(rp["body0"]), mode), None, h=h,
-                       w=w, act=True, neg_slope=0.2, tile_rows=tile_rows,
-                       mode=mode, interpret=interpret)
-    res = conv3x3_rows(res, prep_weight(_k(rp["body1"]), mode), None, h=h,
-                       w=w, tile_rows=tile_rows, mode=mode,
-                       interpret=interpret)
+    # body0 -> lrelu(0.2) -> body1 fused: the intermediate stays in VMEM
+    # (conv3x3_pair_rows — removes an HBM round-trip + DMA serialization
+    # point; the chain is DMA-bound, not matmul-bound)
+    res = conv3x3_pair_rows(x, prep_weight(_k(rp["body0"])), None,
+                            prep_weight(_k(rp["body1"])), None, h=h, w=w,
+                            ns1=0.2, tile_rows=tile_rows,
+                            interpret=interpret)
     res = _context_block(rp["gcnet"], res, h, w, tile_rows)
     res = jnp.where(res >= 0, res, 0.2 * res)
     return x + res
@@ -126,12 +128,10 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode):
 
     def body(x, hw):
         h, w = hw
-        y = conv3x3_rows(x, prep_weight(_k(bp["body0"]), mode),
-                         _b(bp["body0"]), h=h, w=w, act=True, neg_slope=0.1,
-                         tile_rows=tile_rows, mode=mode, interpret=interpret)
-        y = conv3x3_rows(y, prep_weight(_k(bp["body1"]), mode),
-                         _b(bp["body1"]), h=h, w=w, tile_rows=tile_rows,
-                         mode=mode, interpret=interpret)
+        y = conv3x3_pair_rows(x, prep_weight(_k(bp["body0"])),
+                              _b(bp["body0"]), prep_weight(_k(bp["body1"])),
+                              _b(bp["body1"]), h=h, w=w, ns1=0.1,
+                              tile_rows=tile_rows, interpret=interpret)
         return _rcb(bp["rcb"], y, h, w, tile_rows, interpret, mode)
 
     res = [body(x, s) for x, s in zip(x_list, shapes)]

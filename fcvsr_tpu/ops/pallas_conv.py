@@ -42,8 +42,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["conv3x3_rows", "conv3x3_rows_nhwc", "pad_to_rows",
-           "rows_to_nhwc", "prep_weight", "rows_geometry", "ROW_OFF"]
+__all__ = ["conv3x3_rows", "conv3x3_pair_rows", "conv3x3_rows_nhwc",
+           "pad_to_rows", "rows_to_nhwc", "prep_weight", "rows_geometry",
+           "ROW_OFF"]
 
 ROW_OFF = 16        # zero rows above the data (one 16-row tile)
 COL_OFF = 1         # zero columns left of the data
@@ -177,6 +178,161 @@ def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
         rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
         out_ref[0, r] = jnp.where(rowvalid, o * colmask,
                                   0.0).astype(out_ref.dtype)
+
+
+def _pair_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win,
+                 sems, *, th, c, c1, cout, wp, h, w, ns1, tiles, nb):
+    """Two chained 3x3 convs per tile: the intermediate lives in VMEM.
+
+    out = conv2(lrelu_ns1(conv1(window) + b1)) + b2, both cat3-style.
+    The window covers th+4 input rows; th+2 intermediate rows are
+    computed (the conv2 halo is recomputed per tile — 2 rows of overlap
+    beats an HBM round-trip of the whole intermediate, which is what the
+    chain pays when the convs run as two kernels: every window DMA then
+    serializes on the previous conv's freshly-written output)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ti = pl.program_id(1)
+    bi = pl.program_id(0)
+    g = bi * tiles + ti
+    hp = tiles * th
+
+    def dma(step, slot):
+        sb = step // tiles
+        st = step - sb * tiles
+        # input rows [t0-2, t0+th+2); the clamp can only shift the first
+        # and last tiles, whose outputs are fully row-masked (see
+        # rows_geometry: data ends at least one full tile above hp)
+        base = jnp.clip(st * th - 2, 0, hp - (th + 4))
+        return pltpu.make_async_copy(
+            src_hbm.at[sb, pl.ds(base, th + 4)], win.at[slot],
+            sems.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < nb * tiles)
+    def _():
+        dma(g + 1, (g + 1) % 2).start()
+
+    w1 = w1_ref[...].astype(jnp.bfloat16)
+    w2 = w2_ref[...].astype(jnp.bfloat16)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    colmask = ((lane >= COL_OFF) &
+               (lane < COL_OFF + w)).astype(jnp.float32)
+    t0 = ti * th
+    dma(g, g % 2).wait()
+
+    full = win[g % 2]
+    if full.dtype != jnp.float32:
+        full = full.astype(jnp.float32)
+    rolled = [pltpu.roll(full, 1, axis=2).astype(jnp.bfloat16),
+              full.astype(jnp.bfloat16),
+              pltpu.roll(full, wp - 1, axis=2).astype(jnp.bfloat16)]
+    cat = jnp.concatenate(rolled, axis=1)            # (th+4, 3c, wp)
+
+    # ---- conv1: th+2 intermediate rows [t0-1, t0+th+1), masked like a
+    # chain output so conv2 sees the zero ring ----
+    mids = []
+    for r in range(th + 2):                          # mid global row t0-1+r
+        o = None
+        for dy in range(3):
+            d = jax.lax.dot_general(
+                w1[dy], cat[r + dy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = d if o is None else o + d
+        o = o + b1_ref[...]
+        o = jnp.where(o >= 0, o, ns1 * o)
+        gr = t0 - 1 + r
+        rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
+        mids.append(jnp.where(rowvalid, o * colmask, 0.0))
+    mid = jnp.stack(mids)                            # (th+2, c1, wp) f32
+
+    mrolled = [pltpu.roll(mid, 1, axis=2).astype(jnp.bfloat16),
+               mid.astype(jnp.bfloat16),
+               pltpu.roll(mid, wp - 1, axis=2).astype(jnp.bfloat16)]
+    mcat = jnp.concatenate(mrolled, axis=1)          # (th+2, 3c1, wp)
+
+    # ---- conv2: th output rows ----
+    for r in range(th):
+        o = None
+        for dy in range(3):
+            d = jax.lax.dot_general(
+                w2[dy], mcat[r + dy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = d if o is None else o + d
+        o = o + b2_ref[...]
+        gr = t0 + r
+        rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
+        out_ref[0, r] = jnp.where(rowvalid, o * colmask,
+                                  0.0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ns1", "tile_rows",
+                                             "out_dtype", "interpret"))
+def conv3x3_pair_rows(x_rows, w1, b1, w2, b2, *, h: int, w: int,
+                      ns1: float = 0.2, tile_rows: int = 16,
+                      out_dtype=None, interpret: bool = False):
+    """conv2(leaky_relu(conv1(x))) on rows-layout activations, one kernel.
+
+    The SCNet chain's body0->body1 pairs (12 of the 13 convs per
+    group-level, models/scnet_rows.py) are back-to-back 3x3s with only a
+    leaky-relu between: fusing them keeps the intermediate in VMEM and
+    removes one full HBM write+read+DMA-serialization point per pair.
+
+    w1/w2: cat3 ``prep_weight`` layout (3, Cmid, 3*Cin)/(3, Cout, 3*Cmid);
+    b1/b2: (Cmid,)/(Cout,) or None.  ``ns1``: conv1's leaky-relu slope
+    (conv1's activation is always applied; pass the pair's slope).  conv2
+    output has NO activation (callers apply ContextBlock etc. after).
+    Semantics == two ``conv3x3_rows`` calls with act=True on the first.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hp, c, wp = x_rows.shape
+    assert (hp, wp) == rows_geometry(h, w, tile_rows), \
+        (hp, wp, rows_geometry(h, w, tile_rows))
+    assert w1.ndim == 3 and w1.shape[0] == 3 and w1.shape[2] == 3 * c
+    c1 = w1.shape[1]
+    assert w2.shape == (3, w2.shape[1], 3 * c1)
+    cout = w2.shape[1]
+    assert wp % 128 == 0 and c % 16 == 0 and c1 % 16 == 0
+    tiles = hp // tile_rows
+    b1v = jnp.zeros((c1, 1), jnp.float32) if b1 is None \
+        else b1.reshape(c1, 1).astype(jnp.float32)
+    b2v = jnp.zeros((cout, 1), jnp.float32) if b2 is None \
+        else b2.reshape(cout, 1).astype(jnp.float32)
+
+    kern = functools.partial(_pair_kernel, th=tile_rows, c=c, c1=c1,
+                             cout=cout, wp=wp, h=h, w=w, ns1=ns1,
+                             tiles=tiles, nb=b)
+    return pl.pallas_call(
+        kern,
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((3, c1, 3 * c), lambda bi, ti: (0, 0, 0)),
+            pl.BlockSpec((c1, 1), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((3, cout, 3 * c1), lambda bi, ti: (0, 0, 0)),
+            pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_rows, cout, wp),
+                               lambda bi, ti: (bi, ti, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, cout, wp),
+                                       out_dtype or x_rows.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_rows + 4, c, wp), x_rows.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_rows, w1, b1v, w2, b2v)
 
 
 def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:

@@ -209,3 +209,62 @@ def test_conv2d_rows_impl_matches_xla():
     y_r = mod_r.apply(params, x)
     np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_x),
                                rtol=2e-2, atol=2e-2)
+
+
+def _pair_ref(x, w1, b1, w2, b2, ns1):
+    y = _xla_conv(x, w1, b1)
+    y = jnp.where(y >= 0, y, ns1 * y).astype(jnp.float32)
+    return _xla_conv(y, w2, b2)
+
+
+@pytest.mark.parametrize("bias,ns1,th", [(False, 0.2, 8), (True, 0.1, 8),
+                                         (True, 0.2, 16)])
+def test_pair_fused(bias, ns1, th):
+    """conv3x3_pair_rows == conv2(lrelu(conv1(x))) (the SCNet body0/body1
+    fusion; the intermediate's VMEM halo recompute must match the
+    separate-kernel chaining exactly)."""
+    from fcvsr_tpu.ops.pallas_conv import conv3x3_pair_rows
+
+    h, w, c, c1, cout = 23, 44, 16, 32, 16
+    x = jnp.asarray(RNG.standard_normal((1, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, c1)), jnp.float32)
+    w2 = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c1, cout)), jnp.float32)
+    b1 = jnp.asarray(0.1 * RNG.standard_normal((c1,)),
+                     jnp.float32) if bias else None
+    b2 = jnp.asarray(0.1 * RNG.standard_normal((cout,)),
+                     jnp.float32) if bias else None
+    ref = _pair_ref(x, w1, b1, w2, b2, ns1)
+    y = conv3x3_pair_rows(pad_to_rows(x, th), prep_weight(w1), b1,
+                          prep_weight(w2), b2, h=h, w=w, ns1=ns1,
+                          tile_rows=th, interpret=True)
+    yz = np.asarray(y).copy()
+    yz[:, ROW_OFF : ROW_OFF + h, :, 1 : 1 + w] = 0.0
+    assert np.abs(yz).max() == 0.0
+    got = rows_to_nhwc(y, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_pair_matches_two_kernels_batch2():
+    """Pair kernel == two conv3x3_rows calls on the same rows input (the
+    in-chain replacement contract), incl. batch grid and a bf16 chain."""
+    from fcvsr_tpu.ops.pallas_conv import conv3x3_pair_rows
+
+    h, w, c = 24, 30, 16
+    x = jnp.asarray(RNG.standard_normal((2, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, c)), jnp.float32)
+    w2 = jnp.asarray(0.3 * RNG.standard_normal((3, 3, c, c)), jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        rows = pad_to_rows(x, 8).astype(dt)
+        a = conv3x3_rows(rows, prep_weight(w1), h=h, w=w, act=True,
+                         neg_slope=0.2, tile_rows=8, interpret=True)
+        a = conv3x3_rows(a, prep_weight(w2), h=h, w=w, tile_rows=8,
+                         interpret=True)
+        p = conv3x3_pair_rows(rows, prep_weight(w1), None, prep_weight(w2),
+                              None, h=h, w=w, ns1=0.2, tile_rows=8,
+                              interpret=True)
+        tol = 5e-2 if dt == jnp.bfloat16 else 2e-2
+        np.testing.assert_allclose(
+            np.asarray(rows_to_nhwc(p.astype(jnp.float32), h, w)),
+            np.asarray(rows_to_nhwc(a.astype(jnp.float32), h, w)),
+            rtol=tol, atol=tol)
