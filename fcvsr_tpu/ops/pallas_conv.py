@@ -31,8 +31,9 @@ pays two transposes; the kernel then wins every SCNet shape).
 
 Mosaic toolchain notes (found by bisection, round 3): pltpu.roll on bf16
 (16-sublane tiling) and reshapes merging the outer dim into sublanes both
-crash the terminal's compile helper — hence f32 rolls + cast-after, and
-the cat3 concat instead of a zero-copy merged-dims contraction.
+crash the terminal's compile helper — bf16 windows therefore shift via
+static slice+concat (`_lane_shift`, verified on hardware), f32 via roll;
+cat3 concat stands in for a zero-copy merged-dims contraction.
 """
 
 from __future__ import annotations
@@ -61,6 +62,36 @@ def rows_geometry(h: int, w: int, tile_rows: int = 16):
     hp = ((ROW_OFF + h - 1) // tile_rows + 2) * tile_rows
     wp = -(-(w + 2) // 128) * 128
     return hp, wp
+
+
+def _lane_shift(x, dx):
+    """Shift +-1 along the lane (last) axis with wrap, dtype-preserving.
+
+    pltpu.roll is 32-bit-only on this toolchain ('Rotate with non-32-bit
+    data'); for bf16 a static +-1 shift lowers fine as slice+concat —
+    which for the bf16 chain dtype removes the widen-to-f32 + roll +
+    cast-back dance entirely (the wrapped lane only ever lands in the
+    masked zero ring, same as the roll's wraparound).
+    """
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    if x.dtype == jnp.float32:
+        return pltpu.roll(x, dx % x.shape[-1], axis=x.ndim - 1)
+    if dx == 1:
+        return jnp.concatenate([x[..., -1:], x[..., :-1]], axis=-1)
+    return jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
+
+
+def _rolled3(full):
+    """[shift+1, identity, shift-1] as bf16 — the dx=0,1,2 window taps."""
+    import jax.numpy as jnp
+
+    if full.dtype == jnp.float32:
+        return [_lane_shift(full, 1).astype(jnp.bfloat16),
+                full.astype(jnp.bfloat16),
+                _lane_shift(full, -1).astype(jnp.bfloat16)]
+    return [_lane_shift(full, 1), full, _lane_shift(full, -1)]
 
 
 def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
@@ -110,15 +141,9 @@ def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
     # rolled[dx] lane l = input col l + (dx-1), so output col ow reads
     # input cols ow-1..ow+1 — output columns stay aligned with input
     # columns (the chain contract).  The wraparound lanes only ever land
-    # in the masked ring.  Roll in f32 and cast after: pltpu.roll on bf16
-    # (16-sublane tiling) crashes the Mosaic compile helper — a bf16
-    # window (HBM-halving chain dtype) is widened to f32 first.
-    full = win[g % 2]
-    if full.dtype != jnp.float32:
-        full = full.astype(jnp.float32)
-    rolled = [pltpu.roll(full, 1, axis=2).astype(jnp.bfloat16),   # dx = 0
-              full.astype(jnp.bfloat16),                          # dx = 1
-              pltpu.roll(full, wp - 1, axis=2).astype(jnp.bfloat16)]
+    # in the masked ring.  bf16 windows shift natively via slice+concat
+    # (_lane_shift); f32 windows use pltpu.roll and cast after.
+    rolled = _rolled3(win[g % 2])
 
     if mode == "cat9":
         # one big sublane-concat: rhs (th, 9c, wp); k = (dy*3+dx)*c+ci.
@@ -226,13 +251,7 @@ def _pair_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win,
     t0 = ti * th
     dma(g, g % 2).wait()
 
-    full = win[g % 2]
-    if full.dtype != jnp.float32:
-        full = full.astype(jnp.float32)
-    rolled = [pltpu.roll(full, 1, axis=2).astype(jnp.bfloat16),
-              full.astype(jnp.bfloat16),
-              pltpu.roll(full, wp - 1, axis=2).astype(jnp.bfloat16)]
-    cat = jnp.concatenate(rolled, axis=1)            # (th+4, 3c, wp)
+    cat = jnp.concatenate(_rolled3(win[g % 2]), axis=1)  # (th+4, 3c, wp)
 
     # ---- conv1: th+2 intermediate rows [t0-1, t0+th+1), masked like a
     # chain output so conv2 sees the zero ring ----
@@ -249,13 +268,12 @@ def _pair_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win,
         o = jnp.where(o >= 0, o, ns1 * o)
         gr = t0 - 1 + r
         rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
-        mids.append(jnp.where(rowvalid, o * colmask, 0.0))
-    mid = jnp.stack(mids)                            # (th+2, c1, wp) f32
-
-    mrolled = [pltpu.roll(mid, 1, axis=2).astype(jnp.bfloat16),
-               mid.astype(jnp.bfloat16),
-               pltpu.roll(mid, wp - 1, axis=2).astype(jnp.bfloat16)]
-    mcat = jnp.concatenate(mrolled, axis=1)          # (th+2, 3c1, wp)
+        mids.append(jnp.where(rowvalid, o * colmask, 0.0)
+                    .astype(jnp.bfloat16))
+    # bf16 intermediate (same storage rounding as the unfused chain) —
+    # halves the stack + shift volume and feeds the matmuls directly
+    mid = jnp.stack(mids)                            # (th+2, c1, wp) bf16
+    mcat = jnp.concatenate(_rolled3(mid), axis=1)    # (th+2, 3c1, wp)
 
     # ---- conv2: th output rows ----
     for r in range(th):
