@@ -67,6 +67,19 @@ def _embedded_resize(h, w, h2, w2, tile_rows, scale):
 
 def _resize_rows(x, h, w, h2, w2, tile_rows, scale):
     wh, ww = _embedded_resize(h, w, h2, w2, tile_rows, scale)
+    if x.dtype == jnp.bfloat16:
+        # bf16 chain: HIGHEST-precision f32 einsums on bf16 data run
+        # ~6x slower on the MXU for no precision (the activations are
+        # already bf16-rounded); single-pass bf16 is serving precision.
+        # Measured: the cross-level glue is 14.7 of the 41 ms chain
+        # @480x272, mostly these two contractions (/tmp/block_parts.py).
+        wh = jnp.asarray(wh, jnp.bfloat16)
+        ww = jnp.asarray(ww, jnp.bfloat16)
+        y = jnp.einsum("oh,bhcw->bocw", wh, x,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("pw,bocw->bocp", ww, y.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
     y = jnp.einsum("oh,bhcw->bocw", wh, x, precision=_HI,
                    preferred_element_type=jnp.float32)
     return jnp.einsum("pw,bocw->bocp", ww, y, precision=_HI,
