@@ -65,9 +65,9 @@ def main():
     # ---- full module ----
     x3 = arr(1, h, w, 3 * d)
 
-    def setup_mgaa(batch, iac_dtype="f32"):
+    def setup_mgaa(batch, iac_dtype="f32", head_dtype="f32"):
         mgaa = MGAA(dim=d, ac_num=ac, warp_impl="pallas", batch_fb=True,
-                    iac_dtype=iac_dtype)
+                    iac_dtype=iac_dtype, head_dtype=head_dtype)
         p_mgaa = mgaa.init(jax.random.PRNGKey(0), x3)
         v = x3 if batch == 1 else arr(batch, h, w, 3 * d)
         return (lambda u: mgaa.apply(p_mgaa, u)), v
@@ -77,22 +77,33 @@ def main():
     # bf16-storage IAC chain (F1 emits bf16 rows kernels; fused chain at
     # half HBM traffic — ops/pallas_iac.py)
     bench["mgaa_bf16"] = lambda: setup_mgaa(1, "bf16")
+    # + bf16 spectral head (single-pass bf16 DFT, bf16 head convs)
+    bench["mgaa_bf16h"] = lambda: setup_mgaa(1, "bf16", "bf16")
 
-    def setup_noiac():
-        """The full module with iac() monkeypatched to identity: measures
-        the spectral/predictor head INCLUDING all concat/slice glue (the
-        standalone component timings miss the copies XLA emits for
-        concats)."""
+    def setup_noiac(head_dtype="f32"):
+        """The full module with iac() replaced by a stub that CONSUMES
+        pred_k and offsets (cheap reductions): measures the spectral/
+        predictor head INCLUDING glue without the chain.  (An identity
+        stub lets XLA dead-code the whole head — pred_k and offsets have
+        no other consumers.)"""
         from fcvsr_tpu.models import fcvsr as fcvsr_mod
 
         orig = fcvsr_mod.iac
-        fcvsr_mod.iac = (lambda feat_in, *a, **kw: feat_in)
+
+        def stub(feat_in, pred_k, offsets, *a, **kw):
+            keep = (jnp.mean(pred_k.astype(jnp.float32))
+                    + jnp.mean(offsets.astype(jnp.float32)))
+            return feat_in + keep.astype(feat_in.dtype) * 1e-12
+
+        fcvsr_mod.iac = stub
         try:
-            mgaa = MGAA(dim=d, ac_num=ac, warp_impl="pallas", batch_fb=True)
+            mgaa = MGAA(dim=d, ac_num=ac, warp_impl="pallas", batch_fb=True,
+                        iac_dtype="bf16" if head_dtype == "bf16" else "f32",
+                        head_dtype=head_dtype)
             p = mgaa.init(jax.random.PRNGKey(0), x3)
 
             def fn(u):
-                fcvsr_mod.iac = (lambda feat_in, *a, **kw: feat_in)
+                fcvsr_mod.iac = stub
                 try:
                     return mgaa.apply(p, u)
                 finally:
@@ -102,6 +113,7 @@ def main():
         return fn, x3
 
     bench["mgaa_noiac"] = setup_noiac
+    bench["mgaa_noiac_bf16h"] = lambda: setup_noiac("bf16")
 
     # ---- fused IAC chain, one direction ----
     feat = arr(1, h, w, d)
@@ -145,6 +157,10 @@ def main():
 
     # ---- spectral pieces ----
     bench["rfft192"] = lambda: ((lambda v: rfft_features(v)), x3)
+    # single-pass bf16 DFT with f32 accumulation (head_dtype='bf16')
+    bench["rfft192_bf16"] = lambda: (
+        (lambda v: rfft_features(v, compute_dtype=jnp.bfloat16)
+         .astype(jnp.float32)), x3)
     packed = arr(1, h, wf, 2 * ac * 2 * 2)
     bench["irfft48"] = lambda: ((lambda v: irfft_features(v, h, w)), packed)
     fa, fb = arr(1, h, wf, 2 * d), arr(1, h, wf, 2 * d)

@@ -274,13 +274,19 @@ class CALayer(nn.Module):
     channel: int
     reduction: int = 16
     use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = Conv2d(self.channel // self.reduction, 1, use_bias=self.use_bias, name="down")(y)
+        # f32 accumulation for the spatial mean (exact no-op on f32 inputs;
+        # keeps the bf16 head option from reducing in bf16)
+        y = jnp.mean(x, axis=(1, 2), keepdims=True,
+                     dtype=jnp.float32).astype(x.dtype)
+        y = Conv2d(self.channel // self.reduction, 1, use_bias=self.use_bias,
+                   dtype=self.dtype, name="down")(y)
         y = nn.relu(y)
-        y = Conv2d(self.channel, 1, use_bias=self.use_bias, name="up")(y)
+        y = Conv2d(self.channel, 1, use_bias=self.use_bias,
+                   dtype=self.dtype, name="up")(y)
         return x * jax.nn.sigmoid(y)
 
 
@@ -291,14 +297,17 @@ class ConvBlk(nn.Module):
     dim: int
     index: int
     res_scale: float = 1.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         k = 2 * self.index + 1
-        out = Conv2d(self.dim, k, use_bias=False, name="conv1")(x)
+        out = Conv2d(self.dim, k, use_bias=False, dtype=self.dtype,
+                     name="conv1")(x)
         out = PReLU(name="relu")(out)
-        out = Conv2d(self.dim, k, use_bias=False, name="conv2")(out)
-        ca = CALayer(self.dim, reduction=1, name="CA")(out)
+        out = Conv2d(self.dim, k, use_bias=False, dtype=self.dtype,
+                     name="conv2")(out)
+        ca = CALayer(self.dim, reduction=1, dtype=self.dtype, name="CA")(out)
         return ca * self.res_scale + out
 
 

@@ -56,6 +56,12 @@ class MGAA(nn.Module):
     # kernels and the fused chain keeps src/kernels/residual/output at
     # half HBM traffic (ops/pallas_iac.py); arithmetic stays f32.
     iac_dtype: str = "f32"
+    # 'bf16': bf16 spectral head (pallas path only) — the rfft runs as
+    # single-pass bf16 DFT matmuls with f32 accumulation, and the offset/
+    # correlation convs + ConvBlks compute and store bf16.  The irfft that
+    # produces the warp offsets stays f32 HIGHEST.  Bounded-deviation
+    # deployment option like iac_dtype/tail_dtype.
+    head_dtype: str = "f32"
     # Batch the per-direction ConvBlk calls (f/b) along the batch axis.
     # CPU-exact, but that axis is the data-sharded one (concat/split forces
     # resharding collectives on a mesh) and the round-2 full-shape run
@@ -70,10 +76,14 @@ class MGAA(nn.Module):
         b, h, w, _ = x.shape
         x1, x2, x3 = x[..., :d], x[..., d : 2 * d], x[..., 2 * d :]
 
+        split = self.warp_impl == "pallas"
+        hd = jnp.bfloat16 if (split and self.head_dtype == "bf16") else None
+
         # One batched FFT over all 3 groups (rfft2 is per-channel, so slicing
         # the packed output is identical to three per-group FFTs — and one
         # big FFT schedules better on TPU).
-        xf = rfft_features(x)  # (B, H, Wf, 6d): [imag(3d), real(3d)]
+        xf = rfft_features(x, compute_dtype=hd)
+        # (B, H, Wf, 6d): [imag(3d), real(3d)]
 
         def group(i):
             return jnp.concatenate(
@@ -87,10 +97,9 @@ class MGAA(nn.Module):
         # summed-partial accumulation order, so the bit-exact gather path
         # keeps real concats); the always-zero identity-flow channels are
         # dropped via zero_tail
-        split = self.warp_impl == "pallas"
-        fuse0 = Conv2d(2 * d, 1, use_bias=False, name="convfuse0")
-        fuse1 = Conv2d(2 * d, 1, use_bias=False, name="convfuse1")
-        fuse2 = Conv2d(2 * d, 1, use_bias=False, name="convfuse2")
+        fuse0 = Conv2d(2 * d, 1, use_bias=False, dtype=hd, name="convfuse0")
+        fuse1 = Conv2d(2 * d, 1, use_bias=False, dtype=hd, name="convfuse1")
+        fuse2 = Conv2d(2 * d, 1, use_bias=False, dtype=hd, name="convfuse2")
 
         def convfuse(*ys):
             y = ys if split else jnp.concatenate(ys, -1)
@@ -99,16 +108,17 @@ class MGAA(nn.Module):
         off_f = (x1_f - x2_f) + convfuse(x1_f, x2_f)
         off_b = (x3_f - x2_f) + convfuse(x3_f, x2_f)
 
-        crt0 = Conv2d(d, 1, use_bias=False, name="convcrt0")
-        crt1 = Conv2d(4, 1, use_bias=False, name="convcrt1")
+        crt0 = Conv2d(d, 1, use_bias=False, dtype=hd, name="convcrt0")
+        crt1 = Conv2d(4, 1, use_bias=False, dtype=hd, name="convcrt1")
         x2_f_sim = crt1(nn.relu(crt0(x2_f)))
 
         # Correlation conditioning: forward corr is used for BOTH directions
         # (reference bug); identity flow features are exactly zero.
         corrf = corr_lookup(x1_f, x2_f, self.corr_radius)
-        corr0 = Conv2d(d, 1, use_bias=False, zero_tail=2, name="convcorr0")
-        corr1 = Conv2d(d, 1, use_bias=False, name="convcorr1")
-        corr2 = Conv2d(4, 1, use_bias=False, name="convcorr2")
+        corr0 = Conv2d(d, 1, use_bias=False, zero_tail=2, dtype=hd,
+                       name="convcorr0")
+        corr1 = Conv2d(d, 1, use_bias=False, dtype=hd, name="convcorr1")
+        corr2 = Conv2d(4, 1, use_bias=False, dtype=hd, name="convcorr2")
 
         def convcorr(off, cf):
             if split:
@@ -133,17 +143,20 @@ class MGAA(nn.Module):
             off_fb = jnp.concatenate([off_f, off_b], axis=0)
             sim_fb = jnp.concatenate([x2_f_sim, x2_f_sim], axis=0)
             for i in range(self.ac_num):
-                g = ConvBlk(4, index=i, name=f"mconv{i}")(off_fb) * sim_fb
+                g = ConvBlk(4, index=i, dtype=hd, name=f"mconv{i}")(off_fb) \
+                    * sim_fb
                 gated.append(g[:b])
                 gated.append(g[b:])
         else:
             for i in range(self.ac_num):
-                blk = ConvBlk(4, index=i, name=f"mconv{i}")
+                blk = ConvBlk(4, index=i, dtype=hd, name=f"mconv{i}")
                 gated.append(blk(off_f) * x2_f_sim)
                 gated.append(blk(off_b) * x2_f_sim)
         packed = jnp.concatenate(
             [g[..., :2] for g in gated] + [g[..., 2:] for g in gated], -1)
-        fields = irfft_features(packed, h, w)  # (B, H, W, 2*ac_num*2)
+        # warp offsets stay f32 (HIGHEST-precision irfft; tiny — 0.31 ms)
+        fields = irfft_features(packed.astype(jnp.float32), h, w)
+        # (B, H, W, 2*ac_num*2)
         offsets_f = jnp.stack(
             [fields[..., 4 * i : 4 * i + 2] for i in range(self.ac_num)])
         offsets_b = jnp.stack(
@@ -251,6 +264,8 @@ class FCVSRNet(nn.Module):
     # 'bf16': bf16-storage fused IAC chain inside MGAA (pallas path only;
     # see MGAA.iac_dtype) — halves the chain's HBM traffic.
     iac_dtype: str = "f32"
+    # 'bf16': bf16 MGAA spectral head (see MGAA.head_dtype).
+    head_dtype: str = "f32"
     # 'bf16': bf16-storage upsampling tail (SCNet outputs -> conv_last0).
     # The tail is relayout/bandwidth-bound at 4x spatial size — measured
     # 21.2 -> 17.4 ms @480x272 (benchmarks/microbench_tail.py tail_bf16).
@@ -289,7 +304,8 @@ class FCVSRNet(nn.Module):
         mgaa_cls = nn.remat(MGAA) if self.use_remat else MGAA
         mgaa = mgaa_cls(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num,
                         warp_impl=self.warp_impl, batch_fb=self.batch_mgaa,
-                        iac_dtype=self.iac_dtype, name="MGAA")
+                        iac_dtype=self.iac_dtype,
+                        head_dtype=self.head_dtype, name="MGAA")
 
         feat = Conv2d(t * nf, 3, name="feat_extract")(feats)
         f1 = feat[..., : 3 * nf]

@@ -81,25 +81,38 @@ def _irdft_mats(w: int):
     return a_c, a_s
 
 
-def _dft_rfft2(x: jnp.ndarray):
-    """(B, H, W, C) real -> (re, im) each (B, H, Wf, C), via MXU matmuls."""
+def _dft_rfft2(x: jnp.ndarray, compute_dtype=None):
+    """(B, H, W, C) real -> (re, im) each (B, H, Wf, C), via MXU matmuls.
+
+    ``compute_dtype=bfloat16`` runs each contraction as a single bf16 MXU
+    pass with f32 accumulation (vs ~6 passes for HIGHEST-precision f32) —
+    the deployment-path option behind ``MGAA(head_dtype='bf16')``; the
+    default stays HIGHEST f32 (checkpoint-parity spectra).
+    """
     b, h, w, c = x.shape
     wf = w // 2 + 1
     cw, sw = _dft_mats(w)
-    prec = jax.lax.Precision.HIGHEST
+    fast = compute_dtype is not None
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+
+    def ein(spec, a, m):
+        if fast:
+            return jnp.einsum(spec, a.astype(compute_dtype),
+                              m.astype(compute_dtype), precision=prec,
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum(spec, a, m, precision=prec)
+
     # rDFT along W: X[k] = sum_n x[n] (cos - i sin)(2πkn/W), keep k < Wf
     cw = jnp.asarray(cw[:wf])  # (Wf, W)
     sw = jnp.asarray(sw[:wf])
-    xr = jnp.einsum("bhwc,kw->bhkc", x, cw, precision=prec)
-    xi = -jnp.einsum("bhwc,kw->bhkc", x, sw, precision=prec)
+    xr = ein("bhwc,kw->bhkc", x, cw)
+    xi = -ein("bhwc,kw->bhkc", x, sw)
     # full DFT along H on complex
     ch, sh = _dft_mats(h)
     ch = jnp.asarray(ch)
     sh = jnp.asarray(sh)
-    yr = (jnp.einsum("bhkc,mh->bmkc", xr, ch, precision=prec)
-          + jnp.einsum("bhkc,mh->bmkc", xi, sh, precision=prec))
-    yi = (jnp.einsum("bhkc,mh->bmkc", xi, ch, precision=prec)
-          - jnp.einsum("bhkc,mh->bmkc", xr, sh, precision=prec))
+    yr = (ein("bhkc,mh->bmkc", xr, ch) + ein("bhkc,mh->bmkc", xi, sh))
+    yi = (ein("bhkc,mh->bmkc", xi, ch) - ein("bhkc,mh->bmkc", xr, sh))
     return yr, yi
 
 
@@ -119,7 +132,7 @@ def _dft_irfft2(re: jnp.ndarray, im: jnp.ndarray, h: int, w: int):
             - jnp.einsum("btkc,nk->btnc", zi, jnp.asarray(a_s), precision=prec))
 
 
-def rfft_features(x: jnp.ndarray) -> jnp.ndarray:
+def rfft_features(x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """(B, H, W, C) real -> (B, H, Wf, 2C) with channels [imag..., real...].
 
     The optimization barriers keep XLA from fusing the FFT with its
@@ -127,10 +140,14 @@ def rfft_features(x: jnp.ndarray) -> jnp.ndarray:
     some fused fft+slice+conv programs (see CLAUDE.md), and the barrier costs
     nothing measurable next to the FFT itself.  On TPU the transform runs as
     explicit DFT matmuls (`set_fft_impl`).
+
+    ``compute_dtype``: if set (DFT path only), the transform runs single-pass
+    in that dtype with f32 accumulation and the packed output is stored in it
+    — the ``head_dtype='bf16'`` deployment option (bounded deviation).
     """
-    dt = x.dtype
+    dt = compute_dtype if compute_dtype is not None else x.dtype
     if _use_dft():
-        re, im = _dft_rfft2(x.astype(jnp.float32))
+        re, im = _dft_rfft2(x.astype(jnp.float32), compute_dtype)
         return jnp.concatenate([im, re], axis=-1).astype(dt)
     x = jax.lax.optimization_barrier(x.astype(jnp.float32))
     f = jnp.fft.rfft2(x, axes=(1, 2), norm="backward")
@@ -235,12 +252,17 @@ def split_freq(x: jnp.ndarray, num_bands: int, mode: str = "gaussian") -> jnp.nd
     if _use_dft():
         m = jnp.asarray(_band_masks_halfplane(num_bands, h, w, mode))
         re, im = _dft_rfft2(x.astype(jnp.float32))     # (B, H, Wf, C)
-        outs = [
-            _dft_irfft2(re * m[k][None, :, :, None],
-                        im * m[k][None, :, :, None], h, w)
-            for k in range(num_bands)
-        ]
-        return jnp.stack(outs, axis=0).astype(x.dtype)
+        # one batched irfft over all K bands: masking is per-(k, h, w) so
+        # the K*C channel block shares the two inverse-DFT contractions —
+        # identical per-channel math, one big MXU matmul instead of K small
+        mt = jnp.transpose(m, (1, 2, 0))               # (H, Wf, K)
+        reb = (re[..., None] * mt[None, :, :, None, :]) \
+            .reshape(b, h, w // 2 + 1, num_bands * c)  # (B,H,Wf,C*K)
+        imb = (im[..., None] * mt[None, :, :, None, :]) \
+            .reshape(b, h, w // 2 + 1, num_bands * c)
+        out = _dft_irfft2(reb, imb, h, w)              # (B, H, W, C*K)
+        out = out.reshape(b, h, w, c, num_bands)
+        return jnp.transpose(out, (4, 0, 1, 2, 3)).astype(x.dtype)
     shifted_np, _ = gaussian_band_masks(num_bands, h, w, mode)
     shifted = jnp.asarray(shifted_np)
     xf = jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2))

@@ -168,7 +168,11 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
             rolled = pltpu.roll(full, wp - col0, axis=2)
 
             # ---- separable bilinear stencil: (2r+2)^2 static shifted
-            # fmas, accumulated directly in the rows (rows, C, W) layout
+            # fmas, accumulated directly in the rows (rows, C, W) layout.
+            # NOTE: keep the lane slices INSIDE the tap loop — Mosaic fuses
+            # slice+fma; hoisting the nx distinct column windows into
+            # materialized arrays measured 23x SLOWER (16.6 -> 385 ms on
+            # the bf16 MGAA), not faster.
             warped = jnp.zeros((wh, c, w), jnp.float32)
             wy = []
             wx = []

@@ -189,3 +189,36 @@ def test_mgaa_iac_bf16_flag_bounded():
     assert b16.dtype == np.float32
     d = np.abs(b16 - f32)
     assert d.max() < 0.05 and d.mean() < 5e-3
+
+
+def test_mgaa_head_bf16_flag_bounded():
+    """FCVSRNet(head_dtype='bf16') — bf16 spectral head (single-pass bf16
+    DFT + bf16 head convs) — shares the f32 param tree and stays within
+    the bounded-deviation deployment contract; the gather path ignores
+    the flag entirely (bit-identical)."""
+    import dataclasses
+
+    from fcvsr_tpu.models import FCVSRNet
+
+    model = FCVSRNet.small(in_channels=1, warp_impl="pallas",
+                           batch_mgaa=True)
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 7, 1, 16, 16)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    m16 = dataclasses.replace(model, head_dtype="bf16")
+    p16 = m16.init(jax.random.PRNGKey(0), x)
+    same = jax.tree.map(lambda a, b: a.shape == b.shape
+                        and a.dtype == b.dtype, params, p16)
+    assert all(jax.tree.leaves(same))
+
+    f32 = np.asarray(model.apply(params, x))
+    b16 = np.asarray(m16.apply(params, x))
+    assert b16.dtype == np.float32
+    d = np.abs(b16 - f32)
+    assert d.max() < 0.05 and d.mean() < 5e-3
+
+    # non-deployment (gather) path: head_dtype must be a strict no-op
+    mg = FCVSRNet.small(in_channels=1, head_dtype="bf16")
+    pg = mg.init(jax.random.PRNGKey(0), x)
+    g0 = np.asarray(FCVSRNet.small(in_channels=1).apply(pg, x))
+    g1 = np.asarray(mg.apply(pg, x))
+    np.testing.assert_array_equal(g0, g1)
