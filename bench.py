@@ -87,10 +87,14 @@ def make(name, **kw):
         #   60.6 dB PSNR vs the f32 chain — measured round 3)
         # + bf16-storage upsampling tail, polyphase-folded to (H, W)
         #   (ops/psfold.py — exact kernel rearrangement)
-        # + bf16-storage fused IAC chain (8.67 fps total; 62.7 dB vs f32)
+        # + bf16-storage fused IAC chain
+        # + bf16 MGAA spectral head (single-pass bf16 DFT + bf16 head
+        #   convs; MGAA 16.5 -> 13.9 ms)
+        # Total 10.06 fps @480x272; 62.7 dB PSNR vs the f32 chain.
         return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
                         scnet_impl="rows_bf16", tail_dtype="bf16",
-                        iac_dtype="bf16", tail_impl="folded", **kw)
+                        iac_dtype="bf16", tail_impl="folded",
+                        head_dtype="bf16", **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
     if name == "edvr_pallas":

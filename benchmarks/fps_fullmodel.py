@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--scnet", default="rows")
     ap.add_argument("--tail", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--iac", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--head", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--mffr", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--tail-impl", default="xla", choices=["xla", "folded"])
     ap.add_argument("--no-batch-mgaa", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
@@ -60,18 +62,20 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (1, 7, 1, args.h, args.w)), jnp.float32)
 
     def build(scnet_impl, tail_dtype="f32", iac_dtype="f32",
-              tail_impl="xla"):
+              tail_impl="xla", head_dtype="f32", mffr_dtype="f32"):
         cls = FCVSRNet.small if args.model == "fcvsr_s" else FCVSRNet
         return cls(in_channels=1, warp_impl=args.warp,
                    batch_mgaa=not args.no_batch_mgaa,
                    scnet_impl=scnet_impl, tail_dtype=tail_dtype,
-                   iac_dtype=iac_dtype, tail_impl=tail_impl)
+                   iac_dtype=iac_dtype, tail_impl=tail_impl,
+                   head_dtype=head_dtype, mffr_dtype=mffr_dtype)
 
-    model = build(args.scnet, args.tail, args.iac, args.tail_impl)
+    model = build(args.scnet, args.tail, args.iac, args.tail_impl,
+                  args.head, args.mffr)
     params = model.init(jax.random.PRNGKey(0), x)
     out = {"model": args.model, "warp": args.warp, "scnet": args.scnet,
            "tail": args.tail, "iac": args.iac, "tail_impl": args.tail_impl,
-           "shape": [args.h, args.w]}
+           "head": args.head, "mffr": args.mffr, "shape": [args.h, args.w]}
 
     if args.delta:
         # jit both applies: eager through the axon tunnel is ~0.3s/dispatch

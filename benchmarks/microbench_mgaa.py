@@ -183,24 +183,73 @@ def main():
 
     class Blks(nn.Module):
         """The 12 gated ConvBlk spectra, chained so DCE can't drop any."""
+        dtype: object = None
+
         @nn.compact
         def __call__(self, off_f, off_b, sim):
             acc = None
             for i in range(ac):
-                blk = ConvBlk(4, index=i, name=f"mconv{i}")
+                blk = ConvBlk(4, index=i, dtype=self.dtype, name=f"mconv{i}")
                 gf = blk(off_f) * sim
                 gb = blk(off_b) * sim
                 acc = gf + gb if acc is None else acc + gf + gb
             return acc
 
-    def setup_blks():
-        blks = Blks()
+    def setup_blks(dtype=None):
+        blks = Blks(dtype=dtype)
         off_f, off_b, sim = (arr(1, h, wf, 4), arr(1, h, wf, 4),
                              arr(1, h, wf, 4))
+        if dtype is not None:
+            off_f, off_b, sim = (off_f.astype(dtype), off_b.astype(dtype),
+                                 sim.astype(dtype))
         p_blks = blks.init(jax.random.PRNGKey(3), off_f, off_b, sim)
-        return (lambda v: blks.apply(p_blks, v, off_b, sim)), off_f
+        return (lambda v: blks.apply(p_blks, v, off_b, sim)
+                .astype(jnp.float32)), off_f
 
     bench["convblks"] = setup_blks
+    bench["convblks_bf16"] = lambda: setup_blks(jnp.bfloat16)
+
+    class BlksDense(nn.Module):
+        """Candidate: the 12 ConvBlks' per-block convs embedded as ONE
+        dense block-diagonal pair (k=11-padded, 48 channels, both
+        directions batched) — exact same math once kernels are
+        block-diagonal-embedded (zero padding makes padded taps exact);
+        wastes 30x the FLOPs to buy full MXU lanes.  CA stays per-block
+        (tiny).  This bench uses random dense kernels — cost model only.
+
+        Measured on TPU (round 3): LOSES — dense 1.748 / dense_bf16 1.474
+        vs per-block 1.565 / bf16 1.435 ms.  The tiny-channel convs are
+        already bandwidth-bound, not lane-bound; CLOSED, never wired.
+        """
+        dtype: object = None
+
+        @nn.compact
+        def __call__(self, off_fb, sim):
+            from fcvsr_tpu.models.blocks import CALayer, PReLU
+            y = Conv2d(4 * ac, 11, use_bias=False, dtype=self.dtype,
+                       name="c1")(off_fb)
+            y = PReLU(name="relu")(y)
+            y = Conv2d(4 * ac, 11, use_bias=False, dtype=self.dtype,
+                       name="c2")(y)
+            acc = None
+            for i in range(ac):
+                blk = y[..., 4 * i : 4 * i + 4]
+                ca = CALayer(4, reduction=1, dtype=self.dtype,
+                             name=f"ca{i}")(blk)
+                g = (ca + blk) * sim
+                acc = g if acc is None else acc + g
+            return acc[:1] + acc[1:]
+
+    def setup_blks_dense(dtype=None):
+        blks = BlksDense(dtype=dtype)
+        off_fb, sim = arr(2, h, wf, 4 * ac), arr(2, h, wf, 4)
+        if dtype is not None:
+            off_fb, sim = off_fb.astype(dtype), sim.astype(dtype)
+        p = blks.init(jax.random.PRNGKey(3), off_fb, sim)
+        return (lambda v: blks.apply(p, v, sim).astype(jnp.float32)), off_fb
+
+    bench["convblks_dense"] = setup_blks_dense
+    bench["convblks_dense_bf16"] = lambda: setup_blks_dense(jnp.bfloat16)
 
     def setup_conv3():
         conv3 = Conv2d(d, 3, use_bias=False)

@@ -56,6 +56,20 @@ def main():
             bench[f"scnet{g}_{impl}"] = (
                 functools.partial(
                     lambda v, mod=mod, p=p: mod.apply(p, [v, d1, d2])[0]), x)
+        # direct scnet_rows_apply entries: A/B the conv matmul
+        # decomposition in-chain (post cross-level-glue fix).
+        # Measured on TPU (round 3, scnet10 @272x480x64 bf16 chain):
+        # rows_bf16 31.85 ms / cat3 31.91 / mstack 32.53 — the matmul
+        # decomposition is NOT the bottleneck in-chain; CLOSED, default
+        # cat3 stays.
+        from fcvsr_tpu.models.scnet_rows import scnet_rows_apply
+
+        for mode in ("cat3", "mstack"):
+            bench[f"scnet{g}_bf16_{mode}"] = (
+                functools.partial(
+                    lambda v, g=g, p=p, mode=mode: scnet_rows_apply(
+                        p["params"], [v, d1, d2], g,
+                        chain_dtype=jnp.bfloat16, mode=mode)[0]), x)
 
     only = [s for s in args.only.split(",") if s]
     n = args.iters

@@ -165,13 +165,15 @@ def main(argv=None):
         # iac_dtype='bf16': bf16-storage fused IAC chain.
         # tail_impl='folded': polyphase-folded upsampling tail
         # (ops/psfold.py) — same function, computed at (H, W).
-        # Full deployment path 8.67 fps @480x272; output delta vs the f32
-        # chain max 0.0042 (62.7 dB PSNR) — the --fast bounded-deviation
-        # contract.
+        # head_dtype='bf16': bf16 MGAA spectral head (single-pass bf16
+        # DFT + bf16 head convs).
+        # Full deployment path 10.06 fps @480x272; output delta vs the
+        # f32 chain max 0.0042 (62.7 dB PSNR) — the --fast
+        # bounded-deviation contract.
         model = dataclasses.replace(model, warp_impl="pallas",
                                     batch_mgaa=True, scnet_impl="rows_bf16",
                                     tail_dtype="bf16", iac_dtype="bf16",
-                                    tail_impl="folded")
+                                    tail_impl="folded", head_dtype="bf16")
     x0 = jnp.zeros((1, 7, cfg.model.in_channels, 16, 16), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0)
 

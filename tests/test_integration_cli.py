@@ -309,3 +309,23 @@ def test_train_fast_flag_uses_pallas_kernels(synthetic_dataset, tmp_path):
     ])
     assert os.path.isdir(
         os.path.join(work_dir, "fcvsr_s_redsLD_QP37", "ckpt"))
+
+
+@pytest.mark.slow
+def test_eval_fast_flag_deployment_path(synthetic_dataset, tmp_path):
+    """`test.py --fast` composes the full deployment flag set (pallas IAC +
+    batch_mgaa + rows_bf16 SCNet + bf16/folded tail + bf16 IAC chain +
+    bf16 spectral head) end-to-end through the eval CLI (interpret-mode
+    kernels on CPU; 16-row frames satisfy the fused tiling contract)."""
+    lr_root, gt_root = synthetic_dataset
+
+    import test as test_cli
+
+    save_dir = str(tmp_path / "out_fast")
+    test_cli.main([
+        "--preset", "fcvsr_s_redsLD_QP37",
+        "--lr-root", lr_root, "--gt-root", gt_root,
+        "--save-dir", save_dir, "--seqs", "seq_0", "--fast",
+    ])
+    pngs = os.listdir(os.path.join(save_dir, "seq_0"))
+    assert len(pngs) == 8
