@@ -47,6 +47,9 @@ import sys
 # the generous timeouts.
 ATTEMPTS = [
     ("fcvsr_s_fps_320x184", "fps", "fcvsr_s", 184, 320, 1, 1800),
+    # S-model deployment path (the reference FPS harness measures both
+    # FCVSR and FCVSR-S — test_LD_freqCVSR_S_FPS.py); never the headline
+    ("fcvsr_s_pallas_fps_320x184", "fps", "fcvsr_s_pallas", 184, 320, 1, 2700),
     ("fcvsr_full_fps_480x272", "fps", "fcvsr", 272, 480, 1, 2700),
     ("fcvsr_full_pallas_fps_480x272", "fps", "fcvsr_pallas", 272, 480, 1, 2700),
     # batched sliding windows: measured round 3 B=1 3.91 / B=2 3.65 / B=4
@@ -85,18 +88,26 @@ def make(name, **kw):
         # + batch-axis MGAA batching (CPU-exact; finite-probed below)
         # + bf16-storage rows-layout Pallas SCNet (models/scnet_rows.py;
         #   60.6 dB PSNR vs the f32 chain — measured round 3)
-        # + bf16-storage upsampling tail, polyphase-folded to (H, W)
-        #   (ops/psfold.py — exact kernel rearrangement)
+        # + f32 upsampling tail, polyphase-folded to (H, W) (ops/psfold.py
+        #   — exact kernel rearrangement; post-fold the tail is MXU-bound
+        #   and bf16 storage LOSES: 10.88 f32 vs 10.69 bf16 in-chain)
         # + bf16-storage fused IAC chain
         # + bf16 MGAA spectral head (single-pass bf16 DFT + bf16 head
         #   convs; MGAA 16.5 -> 13.9 ms)
-        # Total 10.06 fps @480x272; 62.7 dB PSNR vs the f32 chain.
+        # + bf16 MFFR band split + DivEnh chain (19.2 -> 6.4 ms standalone)
+        # Total 10.88 fps @480x272; 62.6 dB PSNR vs the f32 chain (delta_max 0.0039).
         return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
-                        scnet_impl="rows_bf16", tail_dtype="bf16",
+                        scnet_impl="rows_bf16",
                         iac_dtype="bf16", tail_impl="folded",
-                        head_dtype="bf16", **kw)
+                        head_dtype="bf16", mffr_dtype="bf16", **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
+    if name == "fcvsr_s_pallas":
+        # same deployment flag set as fcvsr_pallas on the S topology
+        return FCVSRNet.small(in_channels=1, warp_impl="pallas",
+                              batch_mgaa=True, scnet_impl="rows_bf16",
+                              iac_dtype="bf16", tail_impl="folded",
+                              head_dtype="bf16", mffr_dtype="bf16", **kw)
     if name == "edvr_pallas":
         from fcvsr_tpu.ops.dcn import set_dcn_impl
         set_dcn_impl("pallas")  # fused DCN (ops/pallas_dcn.py)
@@ -139,14 +150,15 @@ if kind == "train":
 
 params = model.init(jax.random.PRNGKey(0), x)
 
-if model_name == "fcvsr_pallas":
+if model_name in ("fcvsr_pallas", "fcvsr_s_pallas"):
     # on-device finite probe: the old TPU runtime returned non-finite
     # outputs from the batched MGAA variant (round 2) — fall back to the
     # sequential exact-warp model if that ever recurs.
     probe = np.asarray(jnp.mean(model.apply(params, x)))
     if not np.isfinite(probe):
         print("PROBE_FALLBACK nonfinite", file=sys.stderr)
-        model = make("fcvsr")
+        model = make("fcvsr_s" if model_name.startswith("fcvsr_s")
+                     else "fcvsr")
         params = model.init(jax.random.PRNGKey(0), x)
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -52,6 +52,10 @@ def main():
     mffr_p = mffr.init(jax.random.PRNGKey(0), x)
     bench["mffr"] = (lambda v: mffr.apply(mffr_p, v), x)
 
+    # mffr_dtype='bf16' deployment option: bf16 band split + DivEnh chain
+    mffr_bf = MFFR(dim=c, dtype="bf16")
+    bench["mffr_bf16"] = (lambda v: mffr_bf.apply(mffr_p, v), x)
+
     scnet = SCNet(c, 10)
     sc_p = scnet.init(jax.random.PRNGKey(0), [x, d1, d2])
     bench["scnet10"] = (lambda v: scnet.apply(sc_p, [v, d1, d2])[0], x)

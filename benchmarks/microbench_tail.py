@@ -217,6 +217,65 @@ def main():
     # — XLA layout pressure absorbs part of it)
     bench["tail_rows"] = functools.partial(setup_tail, "rows")
 
+    def setup_tail_folded(dtype=jnp.float32):
+        # the deployment tail: polyphase-folded upconv1/upconv2/conv_last0
+        # cascade (ops/psfold.py) — the whole 4x section runs at (H, W)
+        from fcvsr_tpu.ops.psfold import fold_ps_bias, fold_ps_conv
+
+        l1 = arr(1, h, w, nf).astype(dtype)
+        l2 = arr(1, h // 2, w // 2, nf).astype(dtype)
+        l3 = arr(1, h // 4, w // 4, nf).astype(dtype)
+
+        class TailFolded(nn.Module):
+            @nn.compact
+            def __call__(self, l1, l2, l3):
+                lrelu = PReLU(name="lrelu")
+                out_l3 = lrelu(Conv2d(nf, 3, name="upconv1_L3")(l3))
+                out_l3_1 = pixel_shuffle(out_l3)
+                out_l3_2 = pixel_shuffle(out_l3_1)
+                out_l2 = lrelu(Conv2d(nf, 3, name="upconv1_L2")(l2))
+                out_l2 = pixel_shuffle(
+                    out_l2 + Conv2d(nf, 3, name="upconv1_L2_2")(
+                        jnp.concatenate([out_l2, out_l3_1], -1)))
+                fuse = jnp.concatenate([l1, out_l2, out_l3_2], -1)
+                fuse = Conv2d(nf, 3, name="recorb0")(
+                    Conv2d(nf, 3, name="upconv_fuse")(fuse))
+                w1 = self.param("w1", nn.initializers.normal(0.02),
+                                (3, 3, nf, 4 * nf))
+                b1 = self.param("b1", nn.initializers.zeros, (4 * nf,))
+                w2 = self.param("w2", nn.initializers.normal(0.02),
+                                (3, 3, nf, 4 * nf))
+                b2 = self.param("b2", nn.initializers.zeros, (4 * nf,))
+                wl = self.param("wl", nn.initializers.normal(0.02),
+                                (3, 3, nf, c))
+                bl = self.param("bl", nn.initializers.zeros, (c,))
+
+                def conv(v, kern, bias):
+                    pad = (kern.shape[0] - 1) // 2
+                    y = jax.lax.conv_general_dilated(
+                        v, kern.astype(v.dtype), (1, 1),
+                        ((pad, pad), (pad, pad)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    return y + bias.astype(v.dtype)
+
+                a = lrelu(conv(fuse, w1, b1))
+                bmid = lrelu(conv(a, fold_ps_conv(w2, 2),
+                                  fold_ps_bias(b2, 2)))
+                wl2 = fold_ps_conv(fold_ps_conv(wl, 2), 2)
+                y16 = conv(bmid, wl2,
+                           fold_ps_bias(fold_ps_bias(bl, 2), 2))
+                return pixel_shuffle(pixel_shuffle(y16))
+
+        mod = TailFolded()
+        p = mod.init(jax.random.PRNGKey(0), l1, l2, l3)
+        p = jax.tree.map(lambda a: a.astype(dtype), p)
+        return (lambda v, a, b: mod.apply(p, v, a, b).astype(jnp.float32)), \
+            l1, (l2, l3)
+
+    bench["tail_folded"] = setup_tail_folded
+    bench["tail_folded_bf16"] = functools.partial(setup_tail_folded,
+                                                  jnp.bfloat16)
+
     def setup_base():
         center = arr(1, h, w, c)
         out = arr(1, 4 * h, 4 * w, c)

@@ -444,12 +444,15 @@ class DivEnh(nn.Module):
     """
 
     channel: int
+    # compute/storage dtype for the band chain (params stay f32; the
+    # mffr_dtype='bf16' deployment option threads bf16 through here)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, x_before_sum=None, ex_before_sum=None):
         a = self.param("a", nn.initializers.zeros, (self.channel,))
         b = self.param("b", nn.initializers.ones, (self.channel,))
-        ca = CALayer(self.channel, name="ca")
+        ca = CALayer(self.channel, dtype=self.dtype, name="ca")
         a = a.astype(x.dtype)
         b = b.astype(x.dtype)
         if x_before_sum is None:

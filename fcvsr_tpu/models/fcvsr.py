@@ -219,17 +219,24 @@ class MFFR(nn.Module):
     dim: int
     freq_inv: int = 8
     mode: str = "gaussian"
+    # 'bf16': bf16 band split (single-pass bf16 DFT matmuls, bf16 masked
+    # spectra) + bf16 DivEnh chain — the whole module is elementwise/
+    # bandwidth-bound between the two DFT contractions, so halved bytes
+    # win; params stay f32; the f32 residual add keeps the module output
+    # centered on x (bounded-deviation deployment option).
+    dtype: str = "f32"
 
     @nn.compact
     def __call__(self, x):
-        bands = split_freq(x, self.freq_inv, self.mode)
+        cd = jnp.bfloat16 if self.dtype == "bf16" else None
+        bands = split_freq(x, self.freq_inv, self.mode, compute_dtype=cd)
         # "l2h" ordering reverses the band list (CVSR_freq.py:2204-2205).
         freq = bands[::-1]
         enhanced_sum = None
         raw_sum = None
         out_sum = None
         for i in range(self.freq_inv):
-            de = DivEnh(self.dim, name=f"divenh{i}")
+            de = DivEnh(self.dim, dtype=cd, name=f"divenh{i}")
             if i == 0:
                 fo = de(freq[i])
             else:
@@ -237,8 +244,8 @@ class MFFR(nn.Module):
             raw_sum = freq[i] if raw_sum is None else raw_sum + freq[i]
             enhanced_sum = fo if enhanced_sum is None else enhanced_sum + fo
             out_sum = fo if out_sum is None else out_sum + fo
-        out = CALayer(self.dim, name="ca")(out_sum)
-        return out + x
+        out = CALayer(self.dim, dtype=cd, name="ca")(out_sum)
+        return out.astype(x.dtype) + x
 
 
 class FCVSRNet(nn.Module):
@@ -266,6 +273,8 @@ class FCVSRNet(nn.Module):
     iac_dtype: str = "f32"
     # 'bf16': bf16 MGAA spectral head (see MGAA.head_dtype).
     head_dtype: str = "f32"
+    # 'bf16': bf16 MFFR band split + DivEnh chain (see MFFR.dtype).
+    mffr_dtype: str = "f32"
     # 'bf16': bf16-storage upsampling tail (SCNet outputs -> conv_last0).
     # The tail is relayout/bandwidth-bound at 4x spatial size — measured
     # 21.2 -> 17.4 ms @480x272 (benchmarks/microbench_tail.py tail_bf16).
@@ -325,7 +334,8 @@ class FCVSRNet(nn.Module):
             g3 = mgaa(f3)
         g2 = mgaa(jnp.concatenate([g1, f2, g3], -1))
 
-        dec = MFFR(dim=nf, freq_inv=self.freq_inv, name="MFFRblock")(g2)
+        dec = MFFR(dim=nf, freq_inv=self.freq_inv, dtype=self.mffr_dtype,
+                   name="MFFRblock")(g2)
         dec1 = Conv2d(nf, 3, stride=2, name="rconcat1")(dec)
         dec2 = Conv2d(nf, 3, stride=2, name="rconcat2")(dec1)
         scnet_cls = nn.remat(SCNet) if self.use_remat else SCNet

@@ -116,20 +116,32 @@ def _dft_rfft2(x: jnp.ndarray, compute_dtype=None):
     return yr, yi
 
 
-def _dft_irfft2(re: jnp.ndarray, im: jnp.ndarray, h: int, w: int):
-    """(B, H, Wf, C) complex parts -> (B, H, W, C) real, via MXU matmuls."""
-    prec = jax.lax.Precision.HIGHEST
+def _dft_irfft2(re: jnp.ndarray, im: jnp.ndarray, h: int, w: int,
+                compute_dtype=None):
+    """(B, H, Wf, C) complex parts -> (B, H, W, C) real, via MXU matmuls.
+
+    ``compute_dtype=bfloat16`` mirrors ``_dft_rfft2``: single bf16 MXU pass
+    per contraction with f32 accumulation (deployment option); default stays
+    HIGHEST f32 (checkpoint-parity spectra)."""
+    fast = compute_dtype is not None
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+
+    def ein(spec, a, m):
+        if fast:
+            return jnp.einsum(spec, a.astype(compute_dtype),
+                              m.astype(compute_dtype), precision=prec,
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum(spec, a, m, precision=prec)
+
     ch, sh = _dft_mats(h)
     ch = jnp.asarray(ch) / h
     sh = jnp.asarray(sh) / h
     # inverse DFT along H: Z[t] = (1/H) sum_m Y[m] e^{+2πimt/H}
-    zr = (jnp.einsum("bmkc,tm->btkc", re, ch, precision=prec)
-          - jnp.einsum("bmkc,tm->btkc", im, sh, precision=prec))
-    zi = (jnp.einsum("bmkc,tm->btkc", im, ch, precision=prec)
-          + jnp.einsum("bmkc,tm->btkc", re, sh, precision=prec))
+    zr = ein("bmkc,tm->btkc", re, ch) - ein("bmkc,tm->btkc", im, sh)
+    zi = ein("bmkc,tm->btkc", im, ch) + ein("bmkc,tm->btkc", re, sh)
     a_c, a_s = _irdft_mats(w)
-    return (jnp.einsum("btkc,nk->btnc", zr, jnp.asarray(a_c), precision=prec)
-            - jnp.einsum("btkc,nk->btnc", zi, jnp.asarray(a_s), precision=prec))
+    return (ein("btkc,nk->btnc", zr, jnp.asarray(a_c))
+            - ein("btkc,nk->btnc", zi, jnp.asarray(a_s)))
 
 
 def rfft_features(x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
@@ -238,7 +250,8 @@ def _band_masks_halfplane(num_bands: int, h: int, w: int, mode: str):
     return np.ascontiguousarray(sym[:, :, : w // 2 + 1]).astype(np.float32)
 
 
-def split_freq(x: jnp.ndarray, num_bands: int, mode: str = "gaussian") -> jnp.ndarray:
+def split_freq(x: jnp.ndarray, num_bands: int, mode: str = "gaussian",
+               compute_dtype=None) -> jnp.ndarray:
     """Split (B, H, W, C) into (K, B, H, W, C) frequency bands.
 
     Equivalent to the reference per-channel fftn/fftshift/mask loop
@@ -247,26 +260,37 @@ def split_freq(x: jnp.ndarray, num_bands: int, mode: str = "gaussian") -> jnp.nd
     masks (identical output — the reference discards the imaginary part,
     which is what the symmetrization reproduces; ~4x faster than the native
     complex-FFT path through the axon runtime).
+
+    ``compute_dtype=bfloat16``: single-pass bf16 DFT matmuls with f32
+    accumulation AND bf16 storage of the (B, H, Wf, C*K) masked spectra —
+    the big intermediate of the batched band split.  Bands come back in
+    ``compute_dtype`` (the ``mffr_dtype='bf16'`` deployment option,
+    bounded deviation).
     """
     b, h, w, c = x.shape
+    dt = compute_dtype if compute_dtype is not None else x.dtype
     if _use_dft():
         m = jnp.asarray(_band_masks_halfplane(num_bands, h, w, mode))
-        re, im = _dft_rfft2(x.astype(jnp.float32))     # (B, H, Wf, C)
+        re, im = _dft_rfft2(x.astype(jnp.float32), compute_dtype)
         # one batched irfft over all K bands: masking is per-(k, h, w) so
         # the K*C channel block shares the two inverse-DFT contractions —
         # identical per-channel math, one big MXU matmul instead of K small
         mt = jnp.transpose(m, (1, 2, 0))               # (H, Wf, K)
+        if compute_dtype is not None:
+            re = re.astype(compute_dtype)
+            im = im.astype(compute_dtype)
+            mt = mt.astype(compute_dtype)
         reb = (re[..., None] * mt[None, :, :, None, :]) \
             .reshape(b, h, w // 2 + 1, num_bands * c)  # (B,H,Wf,C*K)
         imb = (im[..., None] * mt[None, :, :, None, :]) \
             .reshape(b, h, w // 2 + 1, num_bands * c)
-        out = _dft_irfft2(reb, imb, h, w)              # (B, H, W, C*K)
+        out = _dft_irfft2(reb, imb, h, w, compute_dtype)  # (B, H, W, C*K)
         out = out.reshape(b, h, w, c, num_bands)
-        return jnp.transpose(out, (4, 0, 1, 2, 3)).astype(x.dtype)
+        return jnp.transpose(out, (4, 0, 1, 2, 3)).astype(dt)
     shifted_np, _ = gaussian_band_masks(num_bands, h, w, mode)
     shifted = jnp.asarray(shifted_np)
     xf = jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2))
     # (K, B, H, W, C) = ifft2(xf * mask_k)
     prod = xf[None, ...] * shifted[:, None, :, :, None].astype(jnp.complex64)
     out = jnp.fft.ifft2(prod, axes=(2, 3)).real
-    return out.astype(x.dtype)
+    return out.astype(dt)

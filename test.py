@@ -161,19 +161,25 @@ def main(argv=None):
         # rows_bf16: bf16-storage SCNet chain — 7.22 vs 6.39 fps full
         # @480x272; output moves <0.006 abs (60.6 dB PSNR vs the f32
         # chain), inside the --fast bounded-deviation contract.
-        # tail_dtype='bf16': bf16-storage upsampling tail (21.2 -> 17.4 ms).
         # iac_dtype='bf16': bf16-storage fused IAC chain.
         # tail_impl='folded': polyphase-folded upsampling tail
-        # (ops/psfold.py) — same function, computed at (H, W).
+        # (ops/psfold.py) — same function, computed at (H, W).  The tail
+        # itself stays f32: with the fold the tail is MXU-bound and bf16
+        # LOSES (in-chain 10.88 fps f32 vs 10.69 bf16; standalone 9.5 vs
+        # 12.1 ms — the pre-fold bf16 win was relayout traffic the fold
+        # removed).
         # head_dtype='bf16': bf16 MGAA spectral head (single-pass bf16
         # DFT + bf16 head convs).
-        # Full deployment path 10.06 fps @480x272; output delta vs the
-        # f32 chain max 0.0042 (62.7 dB PSNR) — the --fast
+        # mffr_dtype='bf16': bf16 MFFR band split + DivEnh chain
+        # (19.2 -> 6.4 ms standalone).
+        # Full deployment path 10.88 fps @480x272; output delta vs the
+        # f32 chain max 0.0039 (62.6 dB PSNR) — the --fast
         # bounded-deviation contract.
         model = dataclasses.replace(model, warp_impl="pallas",
                                     batch_mgaa=True, scnet_impl="rows_bf16",
-                                    tail_dtype="bf16", iac_dtype="bf16",
-                                    tail_impl="folded", head_dtype="bf16")
+                                    iac_dtype="bf16",
+                                    tail_impl="folded", head_dtype="bf16",
+                                    mffr_dtype="bf16")
     x0 = jnp.zeros((1, 7, cfg.model.in_channels, 16, 16), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0)
 

@@ -91,3 +91,44 @@ def test_bf16_tail_with_rows_convlast(small):
     d = np.abs(dep - f32)
     # pallas IAC bounded deviation + bf16 storage rounding
     assert d.max() < 0.05 and d.mean() < 5e-3
+
+
+def test_bf16_mffr_bounded_deviation(small):
+    """mffr_dtype='bf16' (bf16 band split + DivEnh chain) shares the f32
+    param tree and stays within the --fast bounded-deviation contract."""
+    import dataclasses
+
+    model, params = small
+    x = jnp.asarray(np.random.default_rng(4).uniform(0, 1, (1, 7, 1, 16, 16)),
+                    jnp.float32)
+    m16 = dataclasses.replace(model, mffr_dtype="bf16")
+    p16 = m16.init(jax.random.PRNGKey(0), x)
+    chex = jax.tree.map(lambda a, b: a.shape == b.shape
+                        and a.dtype == b.dtype, params, p16)
+    assert all(jax.tree.leaves(chex))
+
+    f32 = np.asarray(model.apply(params, x))
+    b16 = np.asarray(m16.apply(params, x))
+    assert b16.dtype == np.float32
+    d = np.abs(b16 - f32)
+    # bf16 DFT/storage rounding through a residual-bounded module
+    assert d.max() < 0.02 and d.mean() < 2e-3
+
+
+def test_split_freq_bf16_close_to_f32():
+    """split_freq(compute_dtype=bf16) returns bf16 bands whose sum still
+    reconstructs the input to bf16 tolerance (both fft and dft impls)."""
+    from fcvsr_tpu.ops.freq import set_fft_impl, split_freq
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 12, 16, 4)), jnp.float32)
+    for impl in ("fft", "dft"):
+        set_fft_impl(impl)
+        try:
+            ref = np.asarray(split_freq(x, 4))
+            got = split_freq(x, 4, compute_dtype=jnp.bfloat16)
+            assert got.dtype == jnp.bfloat16
+            d = np.abs(np.asarray(got, np.float32) - ref)
+            assert d.max() < 0.05, (impl, d.max())
+        finally:
+            set_fft_impl("auto")
