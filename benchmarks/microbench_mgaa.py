@@ -79,6 +79,9 @@ def main():
     bench["mgaa_bf16"] = lambda: setup_mgaa(1, "bf16")
     # + bf16 spectral head (single-pass bf16 DFT, bf16 head convs)
     bench["mgaa_bf16h"] = lambda: setup_mgaa(1, "bf16", "bf16")
+    # the deployment B=2 call (batch_mgaa merges the two shared-weight
+    # MGAA(f1)/MGAA(f3) calls): completes the frame-budget accounting
+    bench["mgaa_bf16h_b2"] = lambda: setup_mgaa(2, "bf16", "bf16")
 
     def setup_noiac(head_dtype="f32"):
         """The full module with iac() replaced by a stub that CONSUMES

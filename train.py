@@ -340,14 +340,21 @@ def main(argv=None):
     # multi-host launch (replaces the reference dist_train.sh / init_dist;
     # see docs/MULTIHOST.md for the per-host invocation recipe)
     parser.add_argument("--fast", action="store_true",
-                        help="train through the fused Pallas serving "
-                             "kernels (warp_impl='pallas' IAC, "
-                             "set_dcn_impl('pallas') DCN).  The kernels "
-                             "carry a custom VJP whose backward is the "
-                             "exact gather-path VJP, so gradients are "
-                             "exact-path gradients; forwards use the "
-                             "bounded-deviation fused kernels "
-                             "(ops/pallas_iac.py, ops/pallas_dcn.py)")
+                        help="train through the fused Pallas DCN "
+                             "(set_dcn_impl('pallas') — 44x on the "
+                             "primal, so EDVR/BasicVSR++/TDAN/IconVSR "
+                             "training wins big).  FCVSR keeps the exact "
+                             "gather warp: the fused-IAC custom VJP's "
+                             "backward re-runs the gather forward, and "
+                             "at training patch sizes that overhead "
+                             "exceeds the fused primal win (measured "
+                             "31.3 vs 28.9 ms/step, S 64px b2 on TPU) — "
+                             "use --warp-impl pallas to override")
+    parser.add_argument("--warp-impl", type=str, default="",
+                        choices=["", "gather", "pallas"],
+                        help="override FCVSR warp_impl for training "
+                             "(fused kernels are grad-legal via their "
+                             "custom VJPs; gradients stay exact-path)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also log scalars to <work_dir>/tb "
                              "(reference SummaryWriter parity)")
@@ -416,12 +423,13 @@ def main(argv=None):
         f.write(cfg.to_json())
 
     model = build_model(cfg)
-    if args.fast and cfg.model.name in ("fcvsr", "fcvsr_s"):
+    if args.warp_impl and cfg.model.name in ("fcvsr", "fcvsr_s"):
         import dataclasses as _dc
 
-        # batch_mgaa stays off: it is an eval-harness batching, and the
-        # tap-major k1 layout + fused IAC are what training benefits from
-        model = _dc.replace(model, warp_impl="pallas")
+        # batch_mgaa stays off: it is an eval-harness batching; explicit
+        # --warp-impl pallas trains through the fused IAC under its
+        # custom VJP (see --fast help for why it is not the default)
+        model = _dc.replace(model, warp_impl=args.warp_impl)
     dataset = build_dataset(cfg)
     schedule = build_schedule(cfg)
     # per-host data stream: distinct sampling stream per process (the
