@@ -40,6 +40,14 @@ transpose; predicted kernels are pre-transposed ONCE per chain to
 Grid = (batch, padded-row-tiles); all stencil slices are static; only the
 window DMA start is dynamic.
 
+**Double-buffered window DMA** (round 3): the per-tile window base rows are
+scalar-prefetch inputs computed outside the kernel, so each grid step starts
+the NEXT step's window copy before computing its own — the manual DMA gets
+the same 2-deep pipelining Mosaic gives BlockSpec inputs.  Before this the
+start+wait round-trip inside each step serialized compute behind HBM:
+standalone iteration 1.14 -> 0.65 ms, 6-iteration chain 9.87 -> 2.88 ms
+(3.4x) at 272x480x64.
+
 Status (round 3): RUNS ON HARDWARE.  The terminal upgrade unblocked Mosaic
 compiles; three real-lowering constraints interpret mode never surfaced
 were fixed (tile-aligned ref slices -> pre-tiled flow halo blocks;
@@ -86,8 +94,9 @@ def _from_rows(rows, h, w, pad_v, pad_l):
         rows[:, pad_v : pad_v + h, :, pad_l : pad_l + w], (0, 1, 3, 2))
 
 
-def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
-            th, h, w, c, pad_v, pad_l, bmax_x, wp, act, tiles):
+def _kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref,
+            out_ref, win2, sems, *, radius, th, h, w, c, pad_v, pad_l,
+            bmax_x, wp, act, tiles, tiles_p):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -95,7 +104,6 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
     r = radius
     wh = th + 2                       # warped rows incl. SAC halo
     wrows = wh + 2 * r + 1            # source window rows
-    bmax_y = pad_v - r - 1            # max |base_y| the padded source covers
     pvt = pad_v // th                 # tiles inside the vertical ring
 
     bi = pl.program_id(0)
@@ -106,7 +114,35 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
     fr0 = jnp.clip(t0 - 1, 0, h - wh)  # first warped (absolute) row
     m0 = t0 - fr0                      # tile row offset inside warped rows
 
-    def body(win, sem_w):
+    # ---- double-buffered window DMA with a one-step lookahead ----
+    # The per-tile window base rows (scalar-prefetch ``rows0``, one entry
+    # per flattened grid step) are computed OUTSIDE the kernel, so step s
+    # can start step s+1's window DMA before it computes — the DMA
+    # round-trip latency (previously start+wait inside each step) hides
+    # behind the stencil.  win2/sems are persistent scratch (grid steps
+    # run sequentially on the core), giving the manual DMA the same
+    # 2-deep pipelining the BlockSpec inputs already get.
+    step = bi * tiles_p + tip
+    total = pl.num_programs(0) * tiles_p
+
+    def win_dma(slot, s):
+        return pltpu.make_async_copy(
+            src_hbm.at[s // tiles_p, pl.ds(rows0_ref[s], wrows)],
+            win2.at[slot], sems.at[slot])
+
+    @pl.when(step == 0)
+    def _warm():
+        win_dma(0, 0).start()
+
+    @pl.when(step + 1 < total)
+    def _ahead():
+        win_dma((step + 1) % 2, step + 1).start()
+
+    def body():
+        # every started DMA must be waited exactly once, ring tiles
+        # included (their rows0 entry is 0 — a harmless top-rows read)
+        win_dma(step % 2, step).wait()
+
         @pl.when(jnp.logical_not(is_data))
         def _ring():
             # vertical zero ring: keeps the output a valid warp source
@@ -122,23 +158,11 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
             fx = fxt_ref[0, 0]
             fy = fyt_ref[0, 0]
 
-            # ---- per-tile base offsets ----
-            base_y = jnp.clip(jnp.round(jnp.mean(fy)), -bmax_y,
-                              bmax_y).astype(jnp.int32)
-            base_x = jnp.clip(jnp.round(jnp.mean(fx)), -bmax_x,
-                              bmax_x).astype(jnp.int32)
-
-            # ---- window DMA: FULL-width rows [fr0+base_y-r, +wrows) ----
-            # The source rows layout keeps the sliced row dim outside the
-            # tiled (sublane=C, lane=Wp) pair, so a dynamic offset is
-            # legal, and the untouched dims satisfy Mosaic's alignment
-            # check by construction (C % 8 == 0, Wp % 128 == 0).  The
-            # horizontal base shift is applied in-VMEM with a dynamic lane
-            # rotate below instead of a (misaligned) column slice.
-            row0 = fr0 + base_y - r + pad_v
-            cp = pltpu.make_async_copy(src_hbm.at[bi, pl.ds(row0, wrows)],
-                                       win, sem_w)
-            cp.start()
+            # ---- per-tile base offsets (precomputed; see _rows_call).
+            # rows0 = fr0 + base_y - r + pad_v, inverted here so the
+            # stencil weights use exactly the DMA'd window's base.
+            base_y = rows0_ref[step] - fr0 + r - pad_v
+            base_x = bxs_ref[step]
 
             # ---- stencil weights (independent of the window) ----
             nx = 2 * r + 2
@@ -152,8 +176,6 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
             fyf = a - y0
             fxf = b - x0
 
-            cp.wait()
-
             # ---- align window columns: rotate lanes so col
             # (base_x - r + pad_l) lands on lane 0; taps then use static
             # slices.  No wraparound reads: max used lane =
@@ -162,7 +184,7 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
             # 16-sublane tiling crashes the Mosaic compile helper — same
             # constraint as ops/pallas_conv.py).
             col0 = base_x - r + pad_l
-            full = win[...]
+            full = win2[step % 2]
             if full.dtype != jnp.float32:
                 full = full.astype(jnp.float32)
             rolled = pltpu.roll(full, wp - col0, axis=2)
@@ -221,11 +243,7 @@ def _kernel(fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref, out_ref, *, radius,
                 out = jnp.where(out >= 0, out, 0.1 * out)
             out_ref[0] = out.astype(out_ref.dtype)
 
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((wrows, c, wp), src_hbm.dtype),
-        pltpu.SemaphoreType.DMA(()),
-    )
+    body()
 
 
 @functools.partial(
@@ -262,27 +280,52 @@ def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
     def data_tile(tip):
         return jnp.clip(tip - pvt, 0, tiles - 1)
 
+    # Per-tile window bases, precomputed so the kernel can start the NEXT
+    # step's window DMA one step ahead (see the kernel's lookahead note).
+    # Identical formula to the old in-kernel computation: round(mean) of
+    # the tile's (wh, W) flow halo, clipped to what the padding covers.
+    bmax_y = pad_v - radius - 1
+    by = jnp.clip(jnp.round(jnp.mean(fyt, axis=(2, 3))), -bmax_y,
+                  bmax_y).astype(jnp.int32)                # (B, tiles)
+    bx = jnp.clip(jnp.round(jnp.mean(fxt, axis=(2, 3))), -bmax_x,
+                  bmax_x).astype(jnp.int32)
+    row0 = fr0[None] + by - radius + pad_v                 # (B, tiles)
+    # ring tiles read rows [0, wrows) — harmless, keeps one DMA per step
+    rows0 = jnp.zeros((b, tiles_p), jnp.int32) \
+        .at[:, pvt : pvt + tiles].set(row0).reshape(-1)
+    bxs = jnp.zeros((b, tiles_p), jnp.int32) \
+        .at[:, pvt : pvt + tiles].set(bx).reshape(-1)
+
+    wrows = wh + 2 * radius + 1
     kern = functools.partial(_kernel, radius=radius, th=th, h=h, w=w, c=c,
                              pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x, wp=wp,
-                             act=act, tiles=tiles)
-    return pl.pallas_call(
-        kern,
+                             act=act, tiles=tiles, tiles_p=tiles_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rows0, bxs
         grid=(b, tiles_p),
         in_specs=[
             pl.BlockSpec((1, 1, wh, w),
-                         lambda bi, tip: (bi, data_tile(tip), 0, 0)),  # fx
+                         lambda bi, tip, *_: (bi, data_tile(tip), 0, 0)),
             pl.BlockSpec((1, 1, wh, w),
-                         lambda bi, tip: (bi, data_tile(tip), 0, 0)),  # fy
+                         lambda bi, tip, *_: (bi, data_tile(tip), 0, 0)),
             # padded source stays in HBM for the manual window DMA (an ANY
             # input small enough to be VMEM-promoted makes the dynamic
             # slices illegal — VMEM slices must be tile-aligned).
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, th, 3 * c, w),
-                         lambda bi, tip: (bi, data_tile(tip), chunk, 0)),
-            pl.BlockSpec((1, th, c, wp), lambda bi, tip: (bi, tip, 0, 0)),
+                         lambda bi, tip, *_: (bi, data_tile(tip), chunk, 0)),
+            pl.BlockSpec((1, th, c, wp), lambda bi, tip, *_: (bi, tip, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, th, c, wp),
-                               lambda bi, tip: (bi, tip, 0, 0)),
+                               lambda bi, tip, *_: (bi, tip, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, wrows, c, wp), src.dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         # storage dtype follows the source: bf16 inputs keep the whole
         # chain (src window DMA + kernels + residual + output) at half
         # HBM traffic; all arithmetic stays f32 in-kernel
@@ -291,7 +334,7 @@ def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(fxt, fyt, src, ktr, fin_rows)
+    )(rows0, bxs, fxt, fyt, src, ktr, fin_rows)
 
 
 @functools.lru_cache(maxsize=None)
