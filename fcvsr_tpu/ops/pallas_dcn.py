@@ -43,18 +43,20 @@ _VMEM_BUDGET = 112 * 1024 * 1024
 
 def _pick_tile_rows(c, w, dg, hp8, radius):
     """Largest tile height whose kernel VMEM estimate fits the budget;
-    0 when even 4-row tiles cannot fit (caller falls back to gather)."""
+    0 when even 4-row tiles cannot fit (caller falls back to gather).
+    The (th+2r+3)-row window is double-buffered (DMA lookahead), hence
+    the extra 8-bytes-per-element window term."""
     wp = ((w + 2 * (radius + 15) + 127) // 128) * 128
     for th in (16, 8, 4):
         if hp8 % th == 0 and 256 * th * c * wp + 216 * th * dg * w \
-                <= _VMEM_BUDGET:
+                + 8 * (th + 2 * radius + 3) * c * wp <= _VMEM_BUDGET:
             return th
     return 0
 
 
-def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
-            radius, th, h, w, c, cout, pad_v, pad_l, bmax_x, wp, has_mask,
-            tiles):
+def _kernel(rows0_ref, bxs_ref, offy_ref, offx_ref, mask_ref, src_hbm,
+            w_ref, out_ref, win2, sems, *, radius, th, h, w, c, cout,
+            pad_v, pad_l, bmax_x, wp, has_mask, tiles):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -69,20 +71,38 @@ def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
     ti = pl.program_id(1)
     t0 = ti * th
 
-    def body(win, sem_w):
+    # Double-buffered window DMA with a one-step lookahead (same scheme as
+    # ops/pallas_iac.py): the per-tile window base rows are scalar-prefetch
+    # inputs computed outside the kernel, so step s starts step s+1's
+    # window copy before it computes and the DMA latency hides behind the
+    # 36-tap stencil.  win2/sems persist across the sequential grid steps.
+    step = bi * tiles + ti
+    total = pl.num_programs(0) * tiles
+
+    def win_dma(slot, s):
+        return pltpu.make_async_copy(
+            src_hbm.at[s // tiles, pl.ds(rows0_ref[s], wrows)],
+            win2.at[slot], sems.at[slot])
+
+    @pl.when(step == 0)
+    def _warm():
+        win_dma(0, 0).start()
+
+    @pl.when(step + 1 < total)
+    def _ahead():
+        win_dma((step + 1) % 2, step + 1).start()
+
+    def body():
+        win_dma(step % 2, step).wait()
+
         offy = offy_ref[0]            # (K, th, dg, w)
         offx = offx_ref[0]
 
-        base_y = jnp.clip(jnp.round(jnp.mean(offy)), -(pad_v - r - 2),
-                          pad_v - r - 2).astype(jnp.int32)
-        base_x = jnp.clip(jnp.round(jnp.mean(offx)), -bmax_x,
-                          bmax_x).astype(jnp.int32)
-
-        # window rows [t0 - 1 - r + base_y, +wrows) in padded coords
-        row0 = t0 + base_y - r - 1 + pad_v
-        cp = pltpu.make_async_copy(src_hbm.at[bi, pl.ds(row0, wrows)],
-                                   win, sem_w)
-        cp.start()
+        # bases precomputed in _fused_call; rows0 = t0 + base_y - r - 1
+        # + pad_v, inverted so the stencil weights use the DMA'd window's
+        # exact base
+        base_y = rows0_ref[step] - t0 + r + 1 - pad_v
+        base_x = bxs_ref[step]
 
         nx = 2 * r + 2
         eps = 1e-4
@@ -93,9 +113,8 @@ def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
         fy = a - y0
         fx = b - x0
 
-        cp.wait()
         col0 = base_x - r - 1 + pad_l
-        rolled = pltpu.roll(win[...], wp - col0, axis=2)
+        rolled = pltpu.roll(win2[step % 2], wp - col0, axis=2)
 
         def expand(v):
             """(th, dg, w) group weights -> (th, C, w) channel weights
@@ -133,11 +152,7 @@ def _kernel(offy_ref, offx_ref, mask_ref, src_hbm, w_ref, out_ref, *,
                 preferred_element_type=jnp.float32)
         out_ref[0] = out
 
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((wrows, c, wp), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
-    )
+    body()
 
 
 @functools.lru_cache(maxsize=None)
@@ -210,27 +225,55 @@ def _fused_call(x, offset, mask, weight, radius, tile_rows, deform_groups,
     # weight (3, 3, Cin, Cout) -> (K*Cin, Cout) with k-major token layout
     wmat = weight.reshape(k9 * c, cout)
 
+    # per-tile window bases, precomputed for the kernel's DMA lookahead
+    # (identical formula to the previous in-kernel round(mean) over each
+    # tile's (K, th, dg, W) offset block)
+    tiles_ = tiles
+    by = jnp.clip(
+        jnp.round(jnp.mean(offy.reshape(b, k9, tiles_, th, dg, w),
+                           axis=(1, 3, 4, 5))),
+        -(pad_v - radius - 2), pad_v - radius - 2).astype(jnp.int32)
+    bx = jnp.clip(
+        jnp.round(jnp.mean(offx.reshape(b, k9, tiles_, th, dg, w),
+                           axis=(1, 3, 4, 5))),
+        -bmax_x, bmax_x).astype(jnp.int32)                 # (B, tiles)
+    t0s = jnp.arange(tiles_, dtype=jnp.int32) * th
+    rows0 = (t0s[None] + by - radius - 1 + pad_v).reshape(-1)
+    bxs = bx.reshape(-1)
+
+    wrows = th + 2 * radius + 3
     kern = functools.partial(
         _kernel, radius=radius, th=th, h=h, w=w, c=c, cout=cout,
         pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x, wp=wp,
         has_mask=mask is not None, tiles=tiles)
-    return pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rows0, bxs
         grid=(b, tiles),
         in_specs=[
-            pl.BlockSpec((1, k9, th, dg, w), lambda bi, ti: (bi, 0, ti, 0, 0)),
-            pl.BlockSpec((1, k9, th, dg, w), lambda bi, ti: (bi, 0, ti, 0, 0)),
-            pl.BlockSpec((1, k9, th, dg, w), lambda bi, ti: (bi, 0, ti, 0, 0)),
+            pl.BlockSpec((1, k9, th, dg, w),
+                         lambda bi, ti, *_: (bi, 0, ti, 0, 0)),
+            pl.BlockSpec((1, k9, th, dg, w),
+                         lambda bi, ti, *_: (bi, 0, ti, 0, 0)),
+            pl.BlockSpec((1, k9, th, dg, w),
+                         lambda bi, ti, *_: (bi, 0, ti, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((k9 * c, cout), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((k9 * c, cout), lambda bi, ti, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, th, w, cout),
-                               lambda bi, ti: (bi, ti, 0, 0)),
+                               lambda bi, ti, *_: (bi, ti, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, wrows, c, wp), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(offy, offx, mk, src, wmat)
+    )(rows0, bxs, offy, offx, mk, src, wmat)
 
 
 def modulated_deform_conv2d_fused(
