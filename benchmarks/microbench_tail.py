@@ -276,6 +276,104 @@ def main():
     bench["tail_folded_bf16"] = functools.partial(setup_tail_folded,
                                                   jnp.bfloat16)
 
+    # ---- folded-tail components (what is the 9.5 ms made of?) ----
+    def _plain_conv(v, kern, bias):
+        pad = (kern.shape[0] - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            v, kern.astype(v.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(v.dtype)
+
+    def setup_folded_up1():
+        # fuse -> upconv1 at (H, W): 64 -> 256, the only unfolded tail conv
+        v = arr(1, h, w, nf)
+        kern = arr(3, 3, nf, 4 * nf)
+        bias = arr(4 * nf)
+        return (lambda u: _plain_conv(u, kern, bias)), v, ()
+
+    def setup_folded_up2():
+        # folded upconv2 at (H, W): 256 -> 1024 with the S=3 dense folded
+        # kernel (25% nonzero — 616 GFLOP dense vs 154 needed)
+        from fcvsr_tpu.ops.psfold import fold_ps_bias, fold_ps_conv
+
+        v = arr(1, h, w, 4 * nf)
+        kern = fold_ps_conv(arr(3, 3, nf, 4 * nf), 2)
+        bias = fold_ps_bias(arr(4 * nf), 2)
+        return (lambda u: _plain_conv(u, kern, bias)), v, ()
+
+    def setup_folded_last():
+        # doubly-folded conv_last0 at (H, W): 1024 -> 16 (MXU N=16 — the
+        # output-channel dim uses 16/128 of the systolic array)
+        from fcvsr_tpu.ops.psfold import fold_ps_bias, fold_ps_conv
+
+        v = arr(1, h, w, 16 * nf)
+        kern = fold_ps_conv(fold_ps_conv(arr(3, 3, nf, c), 2), 2)
+        bias = fold_ps_bias(fold_ps_bias(arr(c), 2), 2)
+        return (lambda u: _plain_conv(u, kern, bias)), v, ()
+
+    bench["folded_up1"] = setup_folded_up1
+    bench["folded_up2"] = setup_folded_up2
+    bench["folded_last"] = setup_folded_last
+
+    def setup_folded_up2_phase():
+        # CANDIDATE: phase-split folded upconv2 — each of the 4 output
+        # phases is a 2x2 conv (a slice of the dense S=3 folded kernel;
+        # per-phase support rows {i, i+1} with asymmetric padding), then a
+        # stack+reshape interleaves channels back to c*4 + i*2 + j.
+        # 4 x 68.5 = 274 GFLOP vs the dense 616.
+        from fcvsr_tpu.ops.psfold import fold_ps_bias, fold_ps_conv
+
+        v = arr(1, h, w, 4 * nf)
+        kern = fold_ps_conv(arr(3, 3, nf, 4 * nf), 2)   # (3,3,256,1024)
+        bias = fold_ps_bias(arr(4 * nf), 2)
+        co = 4 * nf
+
+        def fn(u):
+            ys = []
+            for i in range(2):
+                for j in range(2):
+                    sub = kern[i : i + 2, j : j + 2, :, i * 2 + j :: 4]
+                    y = jax.lax.conv_general_dilated(
+                        u, sub.astype(u.dtype), (1, 1),
+                        ((1 - i, i), (1 - j, j)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    ys.append(y + bias[i * 2 + j :: 4].astype(u.dtype))
+            return jnp.stack(ys, axis=-1).reshape(1, h, w, 4 * co)
+
+        return fn, v, ()
+
+    def setup_folded_last_tapmajor():
+        # CANDIDATE: the doubly-folded conv_last as ONE (HW,1024)x(1024,
+        # S*S*16) matmul (N=144: 56% MXU N-util vs 12.5% at N=16) followed
+        # by S*S shifted adds of the 16-channel tap maps.
+        from fcvsr_tpu.ops.psfold import fold_ps_bias, fold_ps_conv
+
+        v = arr(1, h, w, 16 * nf)
+        kern = fold_ps_conv(fold_ps_conv(arr(3, 3, nf, c), 2), 2)
+        bias = fold_ps_bias(fold_ps_bias(arr(c), 2), 2)
+        S = kern.shape[0]
+        m = (S - 1) // 2
+        cin, co = kern.shape[2], kern.shape[3]
+        wtap = jnp.transpose(kern.reshape(S * S, cin, co), (1, 0, 2)) \
+            .reshape(cin, S * S * co)
+
+        def fn(u):
+            p = jnp.einsum("bhwc,ck->bhwk", u, wtap,
+                           preferred_element_type=jnp.float32)
+            p = p.reshape(1, h, w, S * S, co)
+            pad = jnp.pad(p, ((0, 0), (m, m), (m, m), (0, 0), (0, 0)))
+            out = bias.astype(jnp.float32)[None, None, None]
+            for dy in range(S):
+                for dx in range(S):
+                    out = out + pad[:, dy : dy + h, dx : dx + w,
+                                    dy * S + dx]
+            return out
+
+        return fn, v, ()
+
+    bench["folded_up2_phase"] = setup_folded_up2_phase
+    bench["folded_last_tapmajor"] = setup_folded_last_tapmajor
+
     def setup_base():
         center = arr(1, h, w, c)
         out = arr(1, 4 * h, 4 * w, c)
