@@ -27,9 +27,11 @@ with a single shared slope, so it commutes with the shuffle.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["fold_ps_conv", "fold_ps_bias"]
+__all__ = ["fold_ps_conv", "fold_ps_bias", "conv_folded_phase2",
+           "conv_folded_tapmajor"]
 
 
 def fold_ps_conv(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -83,3 +85,70 @@ def fold_ps_bias(bias: jnp.ndarray, r: int) -> jnp.ndarray:
     """Bias of the folded conv: per-output-channel, constant over phases
     (channel layout ``d*r*r + p*r + q``)."""
     return jnp.repeat(bias, r * r)
+
+
+def conv_folded_phase2(x, folded, bias):
+    """Apply an r=2-folded 3x3 conv as four per-phase 2x2 convs (exact).
+
+    A ``fold_ps_conv(k3, 2)`` kernel is (3, 3, Cin, 4*Cout') but each
+    output phase p only reads folded support rows {p, p+1} (cols likewise)
+    — the dense kernel is 25% nonzero, so the dense conv runs 9/4 the
+    needed FLOPs.  This splits by phase: four 2x2 convs with asymmetric
+    SAME padding, channels interleaved back to the fold layout
+    (out ch = c*4 + i*2 + j).  Same taps as the dense conv — exact up to
+    the backend's channel-reduction order.  Measured @272x480
+    (256 -> 1024): 3.79 -> 2.39 ms standalone
+    (benchmarks/microbench_tail.py ``folded_up2_phase``).
+
+    NOT wired into FCVSRNet: in-chain the phase2+tapmajor pair LOSES
+    3.9 ms/frame on the deployment path (87.11 -> 90.99 ms measured
+    full-model — the standalone wins are XLA-fusion-context dependent);
+    per-candidate in-chain A/B pending.
+
+    x: (B, H, W, Cin); folded: (3, 3, Cin, Cout) with Cout % 4 == 0;
+    bias: (Cout,).
+    """
+    assert folded.shape[0] == 3 and folded.shape[1] == 3, folded.shape
+    b, h, w, _ = x.shape
+    ys = []
+    for i in range(2):
+        for j in range(2):
+            sub = folded[i : i + 2, j : j + 2, :, i * 2 + j :: 4]
+            y = jax.lax.conv_general_dilated(
+                x, sub.astype(x.dtype), (1, 1), ((1 - i, i), (1 - j, j)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            ys.append(y + bias[i * 2 + j :: 4].astype(x.dtype))
+    return jnp.stack(ys, axis=-1).reshape(b, h, w, -1)
+
+
+def conv_folded_tapmajor(x, folded, bias):
+    """Apply a folded SxS conv as one taps matmul + S*S shifted adds.
+
+    For the doubly-folded ``conv_last0`` (Cin=16nf -> Cout=16c) the conv's
+    MXU N dimension is Cout=16 — 12.5% of the 128-wide systolic array.
+    Tap-major moves the taps INTO the matmul N dim: one
+    (HW, Cin) x (Cin, S*S*Cout) contraction (N = 144 at S=3/c=1), then
+    the conv's spatial reduction becomes S*S shifted adds of thin
+    Cout-channel maps.  Exact up to fp reassociation.  Measured @272x480
+    (1024 -> 16): 4.54 -> 0.70 ms standalone (6.5x,
+    benchmarks/microbench_tail.py ``folded_last_tapmajor``).
+    In-chain status: see ``conv_folded_phase2`` — the pair loses on the
+    deployment path; per-candidate A/B pending.
+
+    x: (B, H, W, Cin); folded: (S, S, Cin, Cout) odd S; bias: (Cout,).
+    """
+    S = folded.shape[0]
+    m = (S - 1) // 2
+    cin, cout = folded.shape[2], folded.shape[3]
+    b, h, w, _ = x.shape
+    wtap = jnp.transpose(folded.reshape(S * S, cin, cout), (1, 0, 2)) \
+        .reshape(cin, S * S * cout)
+    p = jnp.einsum("bhwc,ck->bhwk", x, wtap.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    p = p.reshape(b, h, w, S * S, cout)
+    pad = jnp.pad(p, ((0, 0), (m, m), (m, m), (0, 0), (0, 0)))
+    out = bias.astype(jnp.float32)[None, None, None]
+    for dy in range(S):
+        for dx in range(S):
+            out = out + pad[:, dy : dy + h, dx : dx + w, dy * S + dx]
+    return out.astype(x.dtype)

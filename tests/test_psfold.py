@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from fcvsr_tpu.models.blocks import pixel_shuffle
-from fcvsr_tpu.ops.psfold import fold_ps_bias, fold_ps_conv
+from fcvsr_tpu.ops.psfold import (conv_folded_phase2, conv_folded_tapmajor,
+                                  fold_ps_bias, fold_ps_conv)
 
 RNG = np.random.default_rng(11)
 
@@ -45,6 +46,39 @@ def test_fold_nests():
     folded2 = fold_ps_conv(fold_ps_conv(kern, r), r)
     got = pixel_shuffle(pixel_shuffle(
         _conv(x, folded2, fold_ps_bias(fold_ps_bias(bias, r), r)), r), r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout", [(8, 4), (4, 12)])
+def test_conv_folded_phase2_exact(cin, cout):
+    """Per-phase 2x2 convs == the dense folded conv (same taps; the
+    backend may reassociate the channel reduction differently)."""
+    x = jnp.asarray(RNG.standard_normal((2, 7, 6, cin * 4)), jnp.float32)
+    kern = fold_ps_conv(
+        jnp.asarray(RNG.standard_normal((3, 3, cin, cout)), jnp.float32), 2)
+    bias = fold_ps_bias(
+        jnp.asarray(RNG.standard_normal((cout,)), jnp.float32), 2)
+
+    ref = _conv(x, kern, bias)
+    got = conv_folded_phase2(x, kern, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout", [(8, 1), (4, 3)])
+def test_conv_folded_tapmajor_exact(cin, cout):
+    """Taps matmul + shifted adds == the dense doubly-folded conv (fp
+    reassociation tolerance only)."""
+    x = jnp.asarray(RNG.standard_normal((2, 7, 6, cin * 16)), jnp.float32)
+    kern = fold_ps_conv(fold_ps_conv(
+        jnp.asarray(RNG.standard_normal((3, 3, cin, cout)), jnp.float32),
+        2), 2)
+    bias = fold_ps_bias(fold_ps_bias(
+        jnp.asarray(RNG.standard_normal((cout,)), jnp.float32), 2), 2)
+
+    ref = _conv(x, kern, bias)
+    got = conv_folded_tapmajor(x, kern, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
