@@ -24,20 +24,34 @@ import jax.numpy as jnp
 
 from .warp import grid_sample_bilinear
 
-__all__ = ["deform_conv2d", "modulated_deform_conv2d", "set_dcn_impl"]
+__all__ = ["deform_conv2d", "modulated_deform_conv2d", "set_dcn_impl",
+           "set_dcn_bwd"]
 
 # 'gather' = the exact XLA formulation below (differentiable — training uses
 # it); 'pallas' routes supported 3x3/stride-1 configs through the fused
-# windowed-stencil kernel (ops/pallas_dcn.py — forward-only, bounded
-# per-tile offset deviation; measured vs gather in
-# benchmarks/microbench_dcn.py).  Follows the set_fft_impl pattern.
+# windowed-stencil kernel (ops/pallas_dcn.py, custom-VJP'd — legal under
+# jax.grad; measured vs gather in benchmarks/microbench_dcn.py).  Follows
+# the set_fft_impl pattern.
 _DCN_IMPL = "gather"
+
+# Backward used by the 'pallas' impl: 'gather' = exact gather-path VJP
+# (bit-matches gather-impl training for the op in isolation, but re-runs
+# the gather forward — the dominant cost of DCN training on TPU);
+# 'fused' = the Pallas adjoint kernel (ops/pallas_dcn.py::_bwd_kernel —
+# the exact adjoint of the FUSED forward, clamps included).
+_DCN_BWD = "gather"
 
 
 def set_dcn_impl(impl: str) -> None:
     global _DCN_IMPL
     assert impl in ("gather", "pallas")
     _DCN_IMPL = impl
+
+
+def set_dcn_bwd(bwd: str) -> None:
+    global _DCN_BWD
+    assert bwd in ("gather", "fused")
+    _DCN_BWD = bwd
 
 
 def _deform_im2col(x, offset, kernel_size, stride, padding, dilation,
@@ -110,19 +124,24 @@ def modulated_deform_conv2d(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _fused_diff(x, offset, mask, weight, bias, stride, padding, dilation,
                 groups, deform_groups):
-    """Fused Pallas forward with the exact gather-path VJP.
+    """Fused Pallas forward with a selectable VJP (see ``set_dcn_bwd``).
 
     ``pallas_call`` has no autodiff rule, so without this wrapper
-    ``set_dcn_impl('pallas')`` would be forward-only.  The backward here is
-    the VJP of :func:`_gather_forward` evaluated at the same primals —
-    i.e. the gradients a training run on the exact path would produce
-    (bit-identical for the op in isolation; through a composed model the
-    cotangents arriving at this op inherit the fused forward's bounded
-    per-tile deviation).  Cost note: the backward re-runs the gather
-    forward to build its VJP, so grad-mode total cost is
-    ``pallas_fwd + gather_fwd + gather_bwd`` — the win over the pure
-    gather path is the primal forward only (which is where the 44x
-    DCN-kernel speedup lives; benchmarks/microbench_dcn.py).
+    ``set_dcn_impl('pallas')`` would be forward-only.  Backward choices:
+
+    * 'gather' (default): the VJP of :func:`_gather_forward` evaluated at
+      the same primals — the gradients a training run on the exact path
+      would produce (bit-identical for the op in isolation; through a
+      composed model the cotangents arriving at this op inherit the fused
+      forward's bounded per-tile deviation).  Cost: re-runs the gather
+      forward to build its VJP, so grad-mode total is ``pallas_fwd +
+      gather_fwd + gather_bwd`` — the gather backward dominates DCN-family
+      training time on TPU.
+    * 'fused': the Pallas adjoint kernel
+      (:func:`..pallas_dcn.modulated_deform_conv2d_fused_vjp`) — the exact
+      adjoint of the fused forward (same windows/bases/clamps), at conv
+      speed.  Where the two forwards agree (offset deviations within
+      ``radius``), its gradients match the gather VJP to fp tolerance.
     """
     from .pallas_dcn import modulated_deform_conv2d_fused
 
@@ -141,6 +160,13 @@ def _fused_diff_fwd(x, offset, mask, weight, bias, stride, padding,
 def _fused_diff_bwd(stride, padding, dilation, groups, deform_groups,
                     res, g):
     x, offset, mask, weight, bias = res
+    if _DCN_BWD == "fused":
+        from .pallas_dcn import modulated_deform_conv2d_fused_vjp
+
+        return modulated_deform_conv2d_fused_vjp(
+            x, offset, mask, weight, bias, g, stride, padding, dilation,
+            groups, deform_groups,
+            interpret=jax.default_backend() == "cpu")
     _, vjp = jax.vjp(
         lambda *a: _gather_forward(*a, stride, padding, dilation, groups,
                                    deform_groups),

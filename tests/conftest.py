@@ -36,3 +36,4 @@ def _reset_global_impls():
     from fcvsr_tpu.ops import dcn
 
     dcn.set_dcn_impl("gather")
+    dcn.set_dcn_bwd("gather")

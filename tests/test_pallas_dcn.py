@@ -188,3 +188,174 @@ def test_fused_dcn_grad_matches_gather(with_mask):
     for gr, gp in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    rtol=1e-5, atol=1e-5)
+
+
+def _grads_vs_gather(setter_args, args, argnums, rtol=2e-4, atol=2e-4):
+    """jax.grad through the pallas impl with the FUSED backward vs the
+    gather impl (exact autodiff).  Offsets stay within the window radius
+    so the fused forward's clamps are inactive and its adjoint must match
+    the gather VJP to fp tolerance."""
+    from fcvsr_tpu.ops import dcn as dcn_mod
+
+    x, offset, m, weight, bias, dg = args
+    v = jnp.asarray(RNG.standard_normal(x.shape[:3] + (weight.shape[-1],)),
+                    jnp.float32)
+
+    def loss(impl, bwd):
+        def f(xx, oo, mm, ww, bb):
+            dcn_mod.set_dcn_impl(impl)
+            dcn_mod.set_dcn_bwd(bwd)
+            try:
+                out = modulated_deform_conv2d(xx, oo, mm, ww, bb,
+                                              deform_groups=dg)
+            finally:
+                dcn_mod.set_dcn_impl("gather")
+                dcn_mod.set_dcn_bwd("gather")
+            return jnp.vdot(out, v)
+        return f
+
+    fargs = (x, offset, m, weight, bias)
+    g_ref = jax.grad(loss("gather", "gather"), argnums)(*fargs)
+    g_fus = jax.grad(loss("pallas", "fused"), argnums)(*fargs)
+    names = ["dx", "doffset", "dmask", "dweight", "dbias"]
+    for name, gr, gf in zip(names if m is not None else
+                            ["dx", "doffset", "dweight", "dbias"],
+                            g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=rtol, atol=atol,
+            err_msg=f"{name} mismatch")
+
+
+@pytest.mark.parametrize("with_mask", [True, False])
+def test_fused_bwd_grads_match_gather(with_mask):
+    x, offset, mask, weight, bias = _inputs()
+    m = mask if with_mask else None
+    argnums = (0, 1, 3, 4) if m is None else (0, 1, 2, 3, 4)
+    _grads_vs_gather(None, (x, offset, m, weight, bias, 2), argnums)
+
+
+def test_fused_bwd_large_uniform_offset():
+    """The per-tile base absorbs a large shared offset in the backward the
+    same way it does in the forward."""
+    x, offset, mask, weight, bias = _inputs(off_scale=0.8, base=(6.4, -4.7))
+    _grads_vs_gather(None, (x, offset, mask, weight, bias, 2),
+                     (0, 1, 2, 3, 4))
+
+
+def test_fused_bwd_batch2_and_odd_height():
+    x, offset, mask, weight, bias = _inputs(b=2, h=12, w=24)
+    _grads_vs_gather(None, (x, offset, mask, weight, bias, 2),
+                     (0, 1, 2, 3, 4))
+
+
+def test_fused_bwd_dg16():
+    """BasicVSR++ geometry (dg=16, cg=4) exercises the expand_dg path and
+    its grad un-expansion (per-group sums over the channel blocks)."""
+    x, offset, mask, weight, bias = _inputs(c=64, dg=16, cout=64)
+    _grads_vs_gather(None, (x, offset, mask, weight, bias, 16),
+                     (0, 1, 2, 3, 4), rtol=5e-4, atol=5e-4)
+
+
+def test_fused_bwd_under_vmap():
+    """grad-of-vmap folds the backward into the kernel batch grid (dW
+    comes back per example, so the fold is exact for shared weights)."""
+    from fcvsr_tpu.ops import dcn as dcn_mod
+
+    x, offset, mask, weight, bias = _inputs()
+    xs = jnp.stack([x, x * 0.5])
+    offs = jnp.stack([offset, offset * 0.8])
+    masks = jnp.stack([mask, mask * 0.9])
+    v = jnp.asarray(RNG.standard_normal((2,) + x.shape[:3]
+                                        + (weight.shape[-1],)), jnp.float32)
+
+    def loss(impl, bwd):
+        def f(xx, oo, mm, ww):
+            dcn_mod.set_dcn_impl(impl)
+            dcn_mod.set_dcn_bwd(bwd)
+            try:
+                out = jax.vmap(lambda a, o, m: modulated_deform_conv2d(
+                    a, o, m, ww, bias, deform_groups=2))(xx, oo, mm)
+            finally:
+                dcn_mod.set_dcn_impl("gather")
+                dcn_mod.set_dcn_bwd("gather")
+            return jnp.vdot(out, v)
+        return f
+
+    g_ref = jax.grad(loss("gather", "gather"), (0, 1, 2, 3))(
+        xs, offs, masks, weight)
+    g_fus = jax.grad(loss("pallas", "fused"), (0, 1, 2, 3))(
+        xs, offs, masks, weight)
+    for name, gr, gf in zip(["dx", "doffset", "dmask", "dweight"],
+                            g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"{name} mismatch")
+
+
+def test_fused_bwd_unsupported_falls_back():
+    """stride-2 configs route the backward to the exact gather VJP."""
+    from fcvsr_tpu.ops import dcn as dcn_mod
+
+    x, offset, mask, weight, bias = _inputs(h=16, w=16)
+    off8, m8 = offset[:, ::2, ::2], mask[:, ::2, ::2]
+
+    def loss(bwd):
+        def f(xx):
+            dcn_mod.set_dcn_impl("pallas")
+            dcn_mod.set_dcn_bwd(bwd)
+            try:
+                out = modulated_deform_conv2d(xx, off8, m8, weight, bias,
+                                              stride=2, deform_groups=2)
+            finally:
+                dcn_mod.set_dcn_impl("gather")
+                dcn_mod.set_dcn_bwd("gather")
+            return jnp.sum(out ** 2)
+        return f
+
+    g_ref = jax.grad(loss("gather"))(x)
+    g_fus = jax.grad(loss("fused"))(x)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref), atol=0)
+
+
+@pytest.mark.slow
+def test_tdan_train_step_fused_bwd():
+    """One real optimizer step on TDAN with the fully-fused DCN (pallas
+    forward + fused adjoint backward, interpret on CPU): loss is finite,
+    params move, and the step's loss matches the gather path (the
+    train.py --fast routing for DCN families)."""
+    import optax
+
+    from fcvsr_tpu.models.iconvsr import TDANNet
+    from fcvsr_tpu.ops import dcn as dcn_mod
+
+    m = TDANNet(mid_channels=8, num_blocks_before_align=1,
+                num_blocks_after_align=1)
+    lrs = jnp.asarray(RNG.uniform(0, 1, (1, 5, 3, 16, 16)), jnp.float32)
+    gt = jnp.asarray(RNG.uniform(0, 1, (1, 3, 64, 64)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), lrs)
+
+    def loss_fn(p):
+        sr, _ = m.apply(p, lrs)
+        return jnp.mean(jnp.sqrt((sr - gt) ** 2 + 1e-6))
+
+    def one_step(impl, bwd):
+        dcn_mod.set_dcn_impl(impl)
+        dcn_mod.set_dcn_bwd(bwd)
+        try:
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            tx = optax.adam(1e-4)
+            upd, _ = tx.update(grads, tx.init(params), params)
+            new_p = optax.apply_updates(params, upd)
+        finally:
+            dcn_mod.set_dcn_impl("gather")
+            dcn_mod.set_dcn_bwd("gather")
+        return np.asarray(loss), new_p
+
+    l_ref, _ = one_step("gather", "gather")
+    l_fus, p_fus = one_step("pallas", "fused")
+    assert np.isfinite(l_fus)
+    np.testing.assert_allclose(l_fus, l_ref, rtol=1e-3)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params, p_fus)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0

@@ -340,13 +340,15 @@ def main(argv=None):
     # multi-host launch (replaces the reference dist_train.sh / init_dist;
     # see docs/MULTIHOST.md for the per-host invocation recipe)
     parser.add_argument("--fast", action="store_true",
-                        help="train through the fused Pallas DCN "
-                             "(set_dcn_impl('pallas') — 44x on the "
-                             "primal, so EDVR/BasicVSR++/TDAN/IconVSR "
-                             "training wins big).  FCVSR keeps the exact "
-                             "gather warp: the fused-IAC custom VJP's "
-                             "backward re-runs the gather forward, and "
-                             "at training patch sizes that overhead "
+                        help="train through the fused Pallas DCN, both "
+                             "directions (set_dcn_impl('pallas') + "
+                             "set_dcn_bwd('fused'): fused forward AND "
+                             "its Pallas adjoint kernel, so EDVR/"
+                             "BasicVSR++/TDAN/IconVSR training wins "
+                             "big).  FCVSR keeps the exact gather warp: "
+                             "the fused-IAC custom VJP's backward "
+                             "re-runs the gather forward, and at "
+                             "training patch sizes that overhead "
                              "exceeds the fused primal win (measured "
                              "31.3 vs 28.9 ms/step, S 64px b2 on TPU) — "
                              "use --warp-impl pallas to override")
@@ -402,9 +404,13 @@ def main(argv=None):
         cfg.train.resume_from = args.resume_from
 
     if args.fast:
-        from fcvsr_tpu.ops.dcn import set_dcn_impl
+        from fcvsr_tpu.ops.dcn import set_dcn_bwd, set_dcn_impl
 
         set_dcn_impl("pallas")
+        # fused adjoint kernel for the backward too (ops/pallas_dcn.py::
+        # _bwd_kernel) — without it grad-mode pays pallas_fwd + gather_fwd
+        # + gather_bwd and the gather backward dominates the step
+        set_dcn_bwd("fused")
 
     if cfg.model.name in ("realbasicvsr", "glean", "dic"):
         run_gan_training(cfg, args)
