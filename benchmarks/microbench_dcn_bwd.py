@@ -63,24 +63,27 @@ def main():
                  "pallas_fb": ("pallas", "fused"),
                  "golden": ("pallas", "fused")}[args.op]
 
+    # The flags stay set for the whole process (one op per process): a
+    # finally-reset inside the traced loss would run at forward-trace
+    # time, BEFORE the custom_vjp bwd rule is traced, silently restoring
+    # the gather backward.
+    dcn_mod.set_dcn_impl(impl)
+    dcn_mod.set_dcn_bwd(bwd)
+
     def loss(xx, oo, mm, ww):
-        dcn_mod.set_dcn_impl(impl)
-        dcn_mod.set_dcn_bwd(bwd)
-        try:
-            out = modulated_deform_conv2d(xx, oo, mm, ww, bias,
-                                          deform_groups=dg)
-        finally:
-            dcn_mod.set_dcn_impl("gather")
-            dcn_mod.set_dcn_bwd("gather")
+        out = modulated_deform_conv2d(xx, oo, mm, ww, bias,
+                                      deform_groups=dg)
         return jnp.vdot(out, v)
 
     grad_fn = jax.grad(loss, (0, 1, 2, 3))
 
     if args.op == "golden":
         t0 = time.perf_counter()
-        g_fus = [np.asarray(a) for a in grad_fn(x, offset, mask, weight)]
+        g_fus = [np.asarray(a) for a in jax.jit(grad_fn)(
+            x, offset, mask, weight)]
         compile_s = time.perf_counter() - t0
         dcn_mod.set_dcn_impl("gather")
+        dcn_mod.set_dcn_bwd("gather")
         g_ref = [np.asarray(a) for a in jax.jit(jax.grad(
             lambda *a: jnp.vdot(modulated_deform_conv2d(
                 *a, bias, deform_groups=dg), v), (0, 1, 2, 3)))(

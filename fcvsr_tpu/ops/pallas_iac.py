@@ -64,7 +64,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["iac_fused", "warp_sac_fused"]
+__all__ = ["iac_fused", "warp_sac_fused", "iac_fused_vjp"]
 
 
 def _geometry(h, w, radius):
@@ -370,11 +370,17 @@ def _auto_tile_rows(h, pad_v):
     # bigger tiles amortize the window halo (measured 1.14 vs 1.25 ms per
     # iteration at 272x480x64 for 16 vs 8); the ring tiles require
     # pad_v % tile_rows == 0 (pad_v = radius + 14 = 16 for the default
-    # radius 2, so 16/8 both divide it)
-    for th in (16, 8):
-        if h % th == 0 and pad_v % th == 0:
+    # radius 2, so 16/8/4 all divide it).  h >= th + 2 keeps the warped-
+    # halo geometry valid: fr0 = clip(t0 - 1, 0, h - wh) needs h >= wh =
+    # th + 2, else the first tile reads wrapped flow-halo rows and its
+    # frame-border output is WRONG (h == th == 16 measured 3.2 max dev on
+    # row 0 — latent until the backward goldens ran default tiles; the
+    # forward goldens had always pinned tile_rows=8).
+    for th in (16, 8, 4):
+        if h % th == 0 and pad_v % th == 0 and h >= th + 2:
             return th
-    raise ValueError(f"H={h} not divisible by 8 (or pad_v={pad_v})")
+    raise ValueError(f"no valid tile height for H={h} (need H % th == 0, "
+                     f"pad_v={pad_v} % th == 0, H >= th + 2)")
 
 
 def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
@@ -393,9 +399,9 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
     pad_v, pad_l, pad_r, wp, _ = _geometry(h, w, radius)
     if not tile_rows:
         tile_rows = _auto_tile_rows(h, pad_v)
-    if h % tile_rows or pad_v % tile_rows:
+    if h % tile_rows or pad_v % tile_rows or h < tile_rows + 2:
         raise ValueError(f"H={h}/pad_v={pad_v} not divisible by "
-                         f"tile_rows={tile_rows}")
+                         f"tile_rows={tile_rows} (or H < tile_rows + 2)")
     src = _to_rows(feat, pad_v, pad_l, pad_r)
     fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
     ktr = jnp.transpose(k1_tap_major, (0, 1, 3, 2))  # (B, H, 3C, W)
@@ -441,3 +447,401 @@ def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
                               i < ac_num - 1 or act_last,
                               interpret)(cur, offsets[i], ktr, fin)
     return _from_rows(cur, h, w, pad_v, pad_l)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward (the adjoint of one fused IAC iteration)
+# ---------------------------------------------------------------------------
+#
+# Same design as ops/pallas_dcn.py's backward: all gradients reuse the
+# forward's window (same DMA, same bases — recomputed from the same flow,
+# so this is the exact adjoint of the fused forward, clamps included).
+# Given gz (the POST-activation-adjoint cotangent, computed outside):
+#
+#   SAC2 (horizontal, replicate): dk2[tap] = gz * hpad_tap;
+#     dv = k1*gz + shifted k0*gz / k2*gz with the border folds
+#   SAC1 (vertical, replicate, m0-variant select like the forward):
+#     dk1[tap] = dv * wpad_tap; dwarped via row pads + border folds
+#   warp: P_ef = sum_c(dwarped * window_ef) shared by dfx/dfy (the flow
+#     weights are spatial), derivative stencils zeroed where the forward
+#     clamp was active; dsrc splatted into per-lane-shift VMEM buckets,
+#     one roll per bucket, emitted as a per-tile window slab and
+#     overlap-added outside at the same dynamic rows0 bases.
+#
+# The residual (dfin += gz) and activation mask are cheap elementwise XLA
+# outside the kernel; the chain backward (iac_fused_vjp) re-runs the fused
+# forward to rebuild the per-iteration activations (cheaper than one
+# gather forward) and walks the iterations in reverse.
+
+
+def _bwd_kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref,
+                gz_ref, dk_ref, dfx_ref, dfy_ref, dwin_ref, win2, sems, *,
+                radius, th, h, w, c, pad_v, pad_l, wp, tiles, tiles_p):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = radius
+    wh = th + 2
+    wrows = wh + 2 * r + 1
+    nx = 2 * r + 2
+    pvt = pad_v // th
+
+    bi = pl.program_id(0)
+    tip = pl.program_id(1)
+    ti = tip - pvt
+    is_data = jnp.logical_and(ti >= 0, ti < tiles)
+    t0 = jnp.clip(ti, 0, tiles - 1) * th
+    fr0 = jnp.clip(t0 - 1, 0, h - wh)
+    m0 = t0 - fr0
+
+    step = bi * tiles_p + tip
+    total = pl.num_programs(0) * tiles_p
+
+    def win_dma(slot, s):
+        return pltpu.make_async_copy(
+            src_hbm.at[s // tiles_p, pl.ds(rows0_ref[s], wrows)],
+            win2.at[slot], sems.at[slot])
+
+    @pl.when(step == 0)
+    def _warm():
+        win_dma(0, 0).start()
+
+    @pl.when(step + 1 < total)
+    def _ahead():
+        win_dma((step + 1) % 2, step + 1).start()
+
+    def body():
+        win_dma(step % 2, step).wait()
+
+        @pl.when(jnp.logical_not(is_data))
+        def _ring():
+            # forward ring tiles write constants -> zero gradients
+            dk_ref[0, 0] = jnp.zeros((th, 3 * c, w), dk_ref.dtype)
+            dfx_ref[0, 0] = jnp.zeros((wh, w), dfx_ref.dtype)
+            dfy_ref[0, 0] = jnp.zeros((wh, w), dfy_ref.dtype)
+            dwin_ref[0, 0] = jnp.zeros((wrows, c, wp), dwin_ref.dtype)
+
+        @pl.when(is_data)
+        def _data():
+            fx = fxt_ref[0, 0]
+            fy = fyt_ref[0, 0]
+            gz = gz_ref[0].astype(jnp.float32)          # (th, c, wp)
+            g2 = gz[:, :, pad_l : pad_l + w]            # embed adjoint
+
+            base_y = rows0_ref[step] - fr0 + r - pad_v
+            base_x = bxs_ref[step]
+
+            eps = 1e-4
+            rawa = fy - base_y.astype(fy.dtype) + r
+            rawb = fx - base_x.astype(fx.dtype) + r
+            a = jnp.clip(rawa, 0.0, nx - 1 - eps)
+            b = jnp.clip(rawb, 0.0, nx - 1 - eps)
+            y0 = jnp.floor(a)
+            x0 = jnp.floor(b)
+            fyf = a - y0
+            fxf = b - x0
+            iay = ((rawa > 0.0) & (rawa < nx - 1 - eps)) \
+                .astype(jnp.float32)
+            ibx = ((rawb > 0.0) & (rawb < nx - 1 - eps)) \
+                .astype(jnp.float32)
+
+            col0 = base_x - r + pad_l
+            full = win2[step % 2]
+            if full.dtype != jnp.float32:
+                full = full.astype(jnp.float32)
+            rolled = pltpu.roll(full, wp - col0, axis=2)
+
+            wy = []
+            wx = []
+            wyp = []
+            wxp = []
+            for e in range(nx):
+                wy.append(jnp.where(y0 == e, 1.0 - fyf, 0.0)
+                          + jnp.where(y0 == e - 1, fyf, 0.0))
+                wx.append(jnp.where(x0 == e, 1.0 - fxf, 0.0)
+                          + jnp.where(x0 == e - 1, fxf, 0.0))
+                wyp.append(jnp.where(y0 == e - 1, 1.0, 0.0)
+                           - jnp.where(y0 == e, 1.0, 0.0))
+                wxp.append(jnp.where(x0 == e - 1, 1.0, 0.0)
+                           - jnp.where(x0 == e, 1.0, 0.0))
+
+            # ---- recompute the forward intermediates this tile needs ----
+            warped = jnp.zeros((wh, c, w), jnp.float32)
+            for e in range(nx):
+                for f in range(nx):
+                    wgt = wy[e] * wx[f]
+                    warped = warped + wgt[:, None, :] * \
+                        rolled[e : e + wh, :, f : f + w]
+            wpad = jnp.concatenate(
+                [warped[0:1], warped, warped[wh - 1 : wh]], 0)
+            kts = [k_ref[0, :, tap * c : (tap + 1) * c, :]
+                   .astype(jnp.float32) for tap in range(3)]
+
+            def vpass(m):
+                acc = jnp.zeros((th, c, w), jnp.float32)
+                for tap in range(3):
+                    acc = acc + kts[tap] * wpad[m + tap : m + tap + th]
+                return acc
+
+            v = jnp.where(m0 == 0, vpass(0),
+                          jnp.where(m0 == 2, vpass(2), vpass(1)))
+            hpad = jnp.concatenate(
+                [v[:, :, 0:1], v, v[:, :, w - 1 : w]], 2)
+
+            # ---- SAC2 adjoint (horizontal, replicate borders) ----
+            q0 = kts[0] * g2
+            q1 = kts[1] * g2
+            q2 = kts[2] * g2
+            dk2 = [g2 * hpad[:, :, tap : tap + w] for tap in range(3)]
+            dv = q1 \
+                + jnp.concatenate([q0[:, :, 1:], jnp.zeros_like(
+                    q0[:, :, :1])], 2) \
+                + jnp.concatenate([jnp.zeros_like(q2[:, :, :1]),
+                                   q2[:, :, :-1]], 2) \
+                + jnp.pad(q0[:, :, :1], ((0, 0), (0, 0), (0, w - 1))) \
+                + jnp.pad(q2[:, :, w - 1 :], ((0, 0), (0, 0), (w - 1, 0)))
+
+            # ---- SAC1 adjoint (vertical, m0-variant select) ----
+            def vadj(m):
+                dwpad = jnp.zeros((wh + 2, c, w), jnp.float32)
+                dk1m = []
+                for tap in range(3):
+                    q = kts[tap] * dv
+                    dwpad = dwpad + jnp.pad(
+                        q, ((m + tap, wh + 2 - th - m - tap), (0, 0),
+                            (0, 0)))
+                    dk1m.append(dv * wpad[m + tap : m + tap + th])
+                dw = dwpad[1 : wh + 1]
+                dw = dw + jnp.pad(dwpad[0:1], ((0, wh - 1), (0, 0), (0, 0)))
+                dw = dw + jnp.pad(dwpad[wh + 1 : wh + 2],
+                                  ((wh - 1, 0), (0, 0), (0, 0)))
+                return dw, dk1m
+
+            dw0, dk10 = vadj(0)
+            dw1, dk11 = vadj(1)
+            dw2, dk12 = vadj(2)
+            dwarped = jnp.where(m0 == 0, dw0,
+                                jnp.where(m0 == 2, dw2, dw1))
+            dk1 = [jnp.where(m0 == 0, dk10[t],
+                             jnp.where(m0 == 2, dk12[t], dk11[t]))
+                   for t in range(3)]
+
+            dk_ref[0, 0] = jnp.concatenate(
+                [dk1[t] + dk2[t] for t in range(3)], axis=1) \
+                .astype(dk_ref.dtype)
+
+            # ---- warp adjoint ----
+            dfy_acc = jnp.zeros((wh, w), jnp.float32)
+            dfx_acc = jnp.zeros((wh, w), jnp.float32)
+            wacc = [jnp.zeros((wrows, c, w), jnp.float32)
+                    for _ in range(nx)]
+            for e in range(nx):
+                ge = wy[e]
+                gep = wyp[e]
+                for f in range(nx):
+                    sl = rolled[e : e + wh, :, f : f + w]
+                    pef = jnp.sum(dwarped * sl, axis=1)  # (wh, w)
+                    dfy_acc = dfy_acc + (gep * wx[f]) * pef
+                    dfx_acc = dfx_acc + (ge * wxp[f]) * pef
+                    wacc[f] = wacc[f].at[e : e + wh].add(
+                        (ge * wx[f])[:, None, :] * dwarped)
+            dfy_ref[0, 0] = (dfy_acc * iay).astype(dfy_ref.dtype)
+            dfx_ref[0, 0] = (dfx_acc * ibx).astype(dfx_ref.dtype)
+
+            dwin = jnp.zeros((wrows, c, wp), jnp.float32)
+            for f in range(nx):
+                qp = jnp.pad(wacc[f], ((0, 0), (0, 0), (0, wp - w)))
+                dwin = dwin + (qp if f == 0
+                               else pltpu.roll(qp, f, axis=2))
+            dwin_ref[0, 0] = pltpu.roll(dwin, col0, axis=2) \
+                .astype(dwin_ref.dtype)
+
+    body()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "h", "w", "radius", "tile_rows",
+                              "interpret"))
+def _rows_bwd_call(src, flow, ktr, gz, chunk, h, w, radius, tile_rows,
+                   interpret):
+    """Adjoint of one fused iteration.  src: the iteration's warp source
+    (rows layout); gz: the post-activation-adjoint cotangent (rows).
+    Returns (dsrc_rows, dflow, dk_chunk_rows) — the residual/activation
+    adjoints are the caller's (cheap elementwise XLA)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hp, c, wp = src.shape
+    pad_v, pad_l, pad_r, wp2, bmax_x = _geometry(h, w, radius)
+    assert wp2 == wp and hp == h + 2 * pad_v
+    th = tile_rows
+    tiles = h // th
+    tiles_p = hp // th
+    pvt = pad_v // th
+    wh = th + 2
+
+    fr0 = jnp.clip(jnp.arange(tiles) * tile_rows - 1, 0, h - wh)
+    rows = fr0[:, None] + jnp.arange(wh)[None, :]
+    flow_t = flow[:, rows]
+    fxt, fyt = flow_t[..., 0], flow_t[..., 1]
+
+    def data_tile(tip):
+        return jnp.clip(tip - pvt, 0, tiles - 1)
+
+    bmax_y = pad_v - radius - 1
+    by = jnp.clip(jnp.round(jnp.mean(fyt, axis=(2, 3))), -bmax_y,
+                  bmax_y).astype(jnp.int32)
+    bx = jnp.clip(jnp.round(jnp.mean(fxt, axis=(2, 3))), -bmax_x,
+                  bmax_x).astype(jnp.int32)
+    row0 = fr0[None] + by - radius + pad_v
+    rows0 = jnp.zeros((b, tiles_p), jnp.int32) \
+        .at[:, pvt : pvt + tiles].set(row0).reshape(-1)
+    bxs = jnp.zeros((b, tiles_p), jnp.int32) \
+        .at[:, pvt : pvt + tiles].set(bx).reshape(-1)
+
+    wrows = wh + 2 * radius + 1
+    kern = functools.partial(_bwd_kernel, radius=radius, th=th, h=h, w=w,
+                             c=c, pad_v=pad_v, pad_l=pad_l, wp=wp,
+                             tiles=tiles, tiles_p=tiles_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, tiles_p),
+        in_specs=[
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, tip, *_: (bi, data_tile(tip), 0, 0)),
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, tip, *_: (bi, data_tile(tip), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, th, 3 * c, w),
+                         lambda bi, tip, *_: (bi, data_tile(tip), chunk, 0)),
+            pl.BlockSpec((1, th, c, wp), lambda bi, tip, *_: (bi, tip, 0, 0)),
+        ],
+        out_specs=[
+            # ring tiles write zeros to their OWN padded slots (a clipped
+            # data_tile index map would let trailing ring tiles clobber
+            # the last data tile's gradient)
+            pl.BlockSpec((1, 1, th, 3 * c, w),
+                         lambda bi, tip, *_: (bi, tip, 0, 0, 0)),
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, tip, *_: (bi, tip, 0, 0)),
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, tip, *_: (bi, tip, 0, 0)),
+            pl.BlockSpec((1, 1, wrows, c, wp),
+                         lambda bi, tip, *_: (bi, tip, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, wrows, c, wp), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dk_t, dfx_t, dfy_t, dwin = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tiles_p, th, 3 * c, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, tiles_p, wh, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, tiles_p, wh, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, tiles_p, wrows, c, wp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rows0, bxs, fxt, fyt, src, ktr, gz)
+
+    # dsrc: overlap-add the per-tile window slabs at the dynamic bases
+    ridx = (rows0.reshape(b, tiles_p)[:, :, None]
+            + jnp.arange(wrows)[None, None, :])
+    bidx = jnp.arange(b)[:, None, None]
+    dsrc = jnp.zeros((b, hp, c, wp), jnp.float32)
+    dsrc = dsrc.at[bidx, ridx].add(dwin)
+
+    # dflow: un-tile the overlapping halo blocks (adjoint of flow[:, rows])
+    dfx = jnp.zeros((b, h, w), jnp.float32) \
+        .at[:, rows].add(dfx_t[:, pvt : pvt + tiles])
+    dfy = jnp.zeros((b, h, w), jnp.float32) \
+        .at[:, rows].add(dfy_t[:, pvt : pvt + tiles])
+    dflow = jnp.stack([dfx, dfy], axis=-1)
+
+    dk = dk_t[:, pvt : pvt + tiles].reshape(b, h, 3 * c, w)
+    return dsrc.astype(src.dtype), dflow, dk
+
+
+@functools.lru_cache(maxsize=None)
+def _rows_bwd_vmappable(chunk, h, w, radius, tile_rows, interpret):
+    """custom_vmap: fold a mapped axis into the kernel batch grid (same
+    pattern as the forward; every output is per-example)."""
+
+    def base(src, flow, ktr, gz):
+        return _rows_bwd_call(src, flow, ktr, gz, chunk, h, w, radius,
+                              tile_rows, interpret)
+
+    wrapped = jax.custom_batching.custom_vmap(base)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, src, flow, ktr, gz):  # noqa: ANN001
+        def bat(a, is_b):
+            if is_b:
+                return a.reshape((-1,) + a.shape[2:])
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape) \
+                .reshape((-1,) + a.shape[1:])
+
+        outs = base(*(bat(a, ib)
+                      for a, ib in zip((src, flow, ktr, gz), in_batched)))
+        return tuple(o.reshape((axis_size, -1) + o.shape[1:])
+                     for o in outs), (True, True, True)
+
+    return wrapped
+
+
+def iac_fused_vjp(feat_in, pred_k_tap_major, offsets, g, ac_num: int,
+                  channels: int, act_last: bool = True, radius: int = 2,
+                  tile_rows: int = 0, k_rows: bool = False,
+                  interpret: bool = False):
+    """Gradients of :func:`iac_fused` — the exact adjoint of the fused
+    chain (same windows/bases/clamps).  Re-runs the fused forward to
+    rebuild the per-iteration activations (cheaper than one gather
+    forward), then walks the iterations in reverse.
+
+    Returns ``(dfeat_in, dpred_k, doffsets)`` (matching iac_fused's
+    differentiable inputs).  f32 only — the bf16 chain is a deployment
+    path; callers fall back to the gather VJP for bf16 training.
+    """
+    b, h, w, c = feat_in.shape
+    assert feat_in.dtype == jnp.float32, "fused IAC backward is f32-only"
+    pad_v, pad_l, pad_r, wp, _ = _geometry(h, w, radius)
+    if not tile_rows:
+        tile_rows = _auto_tile_rows(h, pad_v)
+    fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
+    ktr = (pred_k_tap_major if k_rows
+           else jnp.transpose(pred_k_tap_major, (0, 1, 3, 2)))
+
+    # forward re-run, keeping every iteration's input
+    cur = [fin]
+    for i in range(ac_num):
+        cur.append(_rows_vmappable(i, h, w, radius, tile_rows,
+                                   i < ac_num - 1 or act_last,
+                                   interpret)(cur[i], offsets[i], ktr, fin))
+
+    g_cur = _to_rows(g.astype(jnp.float32), pad_v, pad_l, pad_r)
+    dfin = jnp.zeros_like(g_cur)
+    dks = [None] * ac_num
+    dffs = [None] * ac_num
+    for i in reversed(range(ac_num)):
+        if i < ac_num - 1 or act_last:
+            gz = g_cur * jnp.where(cur[i + 1] >= 0, 1.0, 0.1)
+        else:
+            gz = g_cur
+        dfin = dfin + gz
+        g_cur, dffs[i], dks[i] = _rows_bwd_vmappable(
+            i, h, w, radius, tile_rows, interpret)(
+                cur[i], offsets[i], ktr, gz)
+    dfin = dfin + g_cur  # iteration 0 warps feat_in itself
+
+    dfeat_in = _from_rows(dfin, h, w, pad_v, pad_l).astype(feat_in.dtype)
+    dktr = jnp.concatenate(dks, axis=2)              # (B, H, AC*3C, W)
+    dpred = (dktr if k_rows
+             else jnp.transpose(dktr, (0, 1, 3, 2))) \
+        .astype(pred_k_tap_major.dtype)
+    doff = jnp.stack(dffs).astype(offsets.dtype)     # (AC, B, H, W, 2)
+    return dfeat_in, dpred, doff

@@ -21,7 +21,20 @@ import jax.numpy as jnp
 
 from .warp import flow_warp
 
-__all__ = ["sac", "iac"]
+__all__ = ["sac", "iac", "set_iac_bwd"]
+
+# Backward used when warp_impl='pallas' routes through the fused IAC chain:
+# 'gather' = VJP of the exact gather-path iac at the same primals (re-runs
+# the gather forward — why --fast training measured slower for FCVSR);
+# 'fused' = the Pallas adjoint kernels (ops/pallas_iac.py::_bwd_kernel —
+# the exact adjoint of the FUSED chain, clamps included; f32 only).
+_IAC_BWD = "gather"
+
+
+def set_iac_bwd(bwd: str) -> None:
+    global _IAC_BWD
+    assert bwd in ("gather", "fused")
+    _IAC_BWD = bwd
 
 
 def _directional_pass(x: jnp.ndarray, k: jnp.ndarray, ksize: int, axis: int,
@@ -163,6 +176,14 @@ def _iac_fused_diff_fwd(feat_in, pred_k, offsets, ac_num, channels,
 
 def _iac_fused_diff_bwd(ac_num, channels, act_last, k_rows, res, g):
     feat_in, pred_k, offsets = res
+
+    if _IAC_BWD == "fused" and feat_in.dtype == jnp.float32:
+        from .pallas_iac import iac_fused_vjp
+
+        return iac_fused_vjp(
+            feat_in, pred_k, offsets, g, ac_num, channels,
+            act_last=act_last, k_rows=k_rows,
+            interpret=jax.default_backend() == "cpu")
 
     def exact(fi, pk, off):
         if k_rows:  # gradients flow back through the layout transpose

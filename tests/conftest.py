@@ -37,3 +37,9 @@ def _reset_global_impls():
 
     dcn.set_dcn_impl("gather")
     dcn.set_dcn_bwd("gather")
+    import importlib
+
+    # NOTE: `import fcvsr_tpu.ops.sac as m` binds the re-exported sac()
+    # FUNCTION (the package attribute shadows the submodule) — go through
+    # importlib for the module itself.
+    importlib.import_module("fcvsr_tpu.ops.sac").set_iac_bwd("gather")

@@ -194,33 +194,49 @@ def _grads_vs_gather(setter_args, args, argnums, rtol=2e-4, atol=2e-4):
     """jax.grad through the pallas impl with the FUSED backward vs the
     gather impl (exact autodiff).  Offsets stay within the window radius
     so the fused forward's clamps are inactive and its adjoint must match
-    the gather VJP to fp tolerance."""
+    the gather VJP to fp tolerance.
+
+    NOTE: the impl/bwd flags are held across the WHOLE jax.grad call — a
+    finally-reset inside the traced function runs at forward-trace time,
+    BEFORE the custom_vjp bwd rule is traced, silently restoring the
+    gather backward (found the hard way: such goldens pass trivially).
+    A spy asserts the fused VJP actually executed."""
+    import fcvsr_tpu.ops.pallas_dcn as pdcn
     from fcvsr_tpu.ops import dcn as dcn_mod
 
     x, offset, m, weight, bias, dg = args
     v = jnp.asarray(RNG.standard_normal(x.shape[:3] + (weight.shape[-1],)),
                     jnp.float32)
 
-    def loss(impl, bwd):
-        def f(xx, oo, mm, ww, bb):
-            dcn_mod.set_dcn_impl(impl)
-            dcn_mod.set_dcn_bwd(bwd)
-            try:
-                out = modulated_deform_conv2d(xx, oo, mm, ww, bb,
-                                              deform_groups=dg)
-            finally:
-                dcn_mod.set_dcn_impl("gather")
-                dcn_mod.set_dcn_bwd("gather")
-            return jnp.vdot(out, v)
-        return f
+    def f(xx, oo, mm, ww, bb):
+        out = modulated_deform_conv2d(xx, oo, mm, ww, bb, deform_groups=dg)
+        return jnp.vdot(out, v)
 
     fargs = (x, offset, m, weight, bias)
-    g_ref = jax.grad(loss("gather", "gather"), argnums)(*fargs)
-    g_fus = jax.grad(loss("pallas", "fused"), argnums)(*fargs)
-    names = ["dx", "doffset", "dmask", "dweight", "dbias"]
-    for name, gr, gf in zip(names if m is not None else
-                            ["dx", "doffset", "dweight", "dbias"],
-                            g_ref, g_fus):
+    g_ref = jax.grad(f, argnums)(*fargs)
+
+    calls = {"n": 0}
+    orig = pdcn.modulated_deform_conv2d_fused_vjp
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    dcn_mod.set_dcn_impl("pallas")
+    dcn_mod.set_dcn_bwd("fused")
+    pdcn.modulated_deform_conv2d_fused_vjp = spy
+    try:
+        # dcn._fused_diff_bwd imports the vjp from pallas_dcn at call time,
+        # so patching the pallas_dcn attribute is sufficient
+        g_fus = jax.grad(f, argnums)(*fargs)
+    finally:
+        pdcn.modulated_deform_conv2d_fused_vjp = orig
+        dcn_mod.set_dcn_impl("gather")
+        dcn_mod.set_dcn_bwd("gather")
+    assert calls["n"] >= 1, "fused VJP was never executed"
+    names = (["dx", "doffset", "dmask", "dweight", "dbias"] if m is not None
+             else ["dx", "doffset", "dweight", "dbias"])
+    for name, gr, gf in zip(names, g_ref, g_fus):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), rtol=rtol, atol=atol,
             err_msg=f"{name} mismatch")
@@ -268,23 +284,19 @@ def test_fused_bwd_under_vmap():
     v = jnp.asarray(RNG.standard_normal((2,) + x.shape[:3]
                                         + (weight.shape[-1],)), jnp.float32)
 
-    def loss(impl, bwd):
-        def f(xx, oo, mm, ww):
-            dcn_mod.set_dcn_impl(impl)
-            dcn_mod.set_dcn_bwd(bwd)
-            try:
-                out = jax.vmap(lambda a, o, m: modulated_deform_conv2d(
-                    a, o, m, ww, bias, deform_groups=2))(xx, oo, mm)
-            finally:
-                dcn_mod.set_dcn_impl("gather")
-                dcn_mod.set_dcn_bwd("gather")
-            return jnp.vdot(out, v)
-        return f
+    def f(xx, oo, mm, ww):
+        out = jax.vmap(lambda a, o, m: modulated_deform_conv2d(
+            a, o, m, ww, bias, deform_groups=2))(xx, oo, mm)
+        return jnp.vdot(out, v)
 
-    g_ref = jax.grad(loss("gather", "gather"), (0, 1, 2, 3))(
-        xs, offs, masks, weight)
-    g_fus = jax.grad(loss("pallas", "fused"), (0, 1, 2, 3))(
-        xs, offs, masks, weight)
+    g_ref = jax.grad(f, (0, 1, 2, 3))(xs, offs, masks, weight)
+    dcn_mod.set_dcn_impl("pallas")
+    dcn_mod.set_dcn_bwd("fused")
+    try:
+        g_fus = jax.grad(f, (0, 1, 2, 3))(xs, offs, masks, weight)
+    finally:
+        dcn_mod.set_dcn_impl("gather")
+        dcn_mod.set_dcn_bwd("gather")
     for name, gr, gf in zip(["dx", "doffset", "dmask", "dweight"],
                             g_ref, g_fus):
         np.testing.assert_allclose(
@@ -299,21 +311,19 @@ def test_fused_bwd_unsupported_falls_back():
     x, offset, mask, weight, bias = _inputs(h=16, w=16)
     off8, m8 = offset[:, ::2, ::2], mask[:, ::2, ::2]
 
-    def loss(bwd):
-        def f(xx):
-            dcn_mod.set_dcn_impl("pallas")
-            dcn_mod.set_dcn_bwd(bwd)
-            try:
-                out = modulated_deform_conv2d(xx, off8, m8, weight, bias,
-                                              stride=2, deform_groups=2)
-            finally:
-                dcn_mod.set_dcn_impl("gather")
-                dcn_mod.set_dcn_bwd("gather")
-            return jnp.sum(out ** 2)
-        return f
+    def f(xx):
+        out = modulated_deform_conv2d(xx, off8, m8, weight, bias,
+                                      stride=2, deform_groups=2)
+        return jnp.sum(out ** 2)
 
-    g_ref = jax.grad(loss("gather"))(x)
-    g_fus = jax.grad(loss("fused"))(x)
+    g_ref = jax.grad(f)(x)
+    dcn_mod.set_dcn_impl("pallas")
+    dcn_mod.set_dcn_bwd("fused")
+    try:
+        g_fus = jax.grad(f)(x)
+    finally:
+        dcn_mod.set_dcn_impl("gather")
+        dcn_mod.set_dcn_bwd("gather")
     np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref), atol=0)
 
 
@@ -346,16 +356,18 @@ def test_tdan_train_step_fused_bwd():
             tx = optax.adam(1e-4)
             upd, _ = tx.update(grads, tx.init(params), params)
             new_p = optax.apply_updates(params, upd)
+            loss = np.asarray(loss)  # force eval while the flags hold
+            new_p = jax.tree_util.tree_map(np.asarray, new_p)
         finally:
             dcn_mod.set_dcn_impl("gather")
             dcn_mod.set_dcn_bwd("gather")
-        return np.asarray(loss), new_p
+        return loss, new_p
 
-    l_ref, _ = one_step("gather", "gather")
+    l_ref, p_ref = one_step("gather", "gather")
     l_fus, p_fus = one_step("pallas", "fused")
     assert np.isfinite(l_fus)
     np.testing.assert_allclose(l_fus, l_ref, rtol=1e-3)
-    moved = jax.tree_util.tree_map(
-        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
-        params, p_fus)
-    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    dev = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), p_ref, p_fus)
+    # fused and gather steps land on (numerically) the same update
+    assert max(jax.tree_util.tree_leaves(dev)) < 1e-5

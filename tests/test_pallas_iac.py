@@ -222,3 +222,135 @@ def test_mgaa_head_bf16_flag_bounded():
     g0 = np.asarray(FCVSRNet.small(in_channels=1).apply(pg, x))
     g1 = np.asarray(mg.apply(pg, x))
     np.testing.assert_array_equal(g0, g1)
+
+
+def _fused_bwd_grads(feat_in, pred_k, offsets, ac, c, act_last=True,
+                     k_rows=False):
+    """Flags are held across the WHOLE jax.grad call: a finally-reset
+    inside the traced function runs at forward-trace time, BEFORE the
+    custom_vjp bwd rule is traced, silently restoring the gather backward
+    (goldens would pass trivially).  A spy asserts the fused VJP ran."""
+    import importlib
+
+    import fcvsr_tpu.ops.pallas_iac as piac
+
+    sac_mod = importlib.import_module("fcvsr_tpu.ops.sac")
+    v = jnp.asarray(RNG.standard_normal(feat_in.shape), jnp.float32)
+
+    def f(fi, pk, off):
+        out = iac(fi, pk, off, ac, c, 3, warp_impl="pallas", k1_only=True,
+                  k_tap_major=True, act_last=act_last, k_rows=k_rows)
+        return jnp.vdot(out, v)
+
+    def f_ref(fi, pk, off):
+        out = iac(fi, pk, off, ac, c, 3, warp_impl="gather", k1_only=True,
+                  k_tap_major=True, act_last=act_last, k_rows=k_rows)
+        return jnp.vdot(out, v)
+
+    g_ref = jax.grad(f_ref, (0, 1, 2))(feat_in, pred_k, offsets)
+
+    calls = {"n": 0}
+    orig = piac.iac_fused_vjp
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    sac_mod.set_iac_bwd("fused")
+    piac.iac_fused_vjp = spy
+    try:
+        g_fus = jax.grad(f, (0, 1, 2))(feat_in, pred_k, offsets)
+    finally:
+        piac.iac_fused_vjp = orig
+        sac_mod.set_iac_bwd("gather")
+    assert calls["n"] >= 1, "fused IAC VJP was never executed"
+    return g_ref, g_fus
+@pytest.mark.parametrize("act_last", [True, False])
+def test_iac_fused_bwd_grads_match_gather(act_last):
+    """set_iac_bwd('fused') runs the Pallas adjoint kernels: where the
+    fused forward's clamps are inactive (small flows) its adjoint must
+    match the exact gather-path VJP to fp tolerance — dfeat_in, dpred_k
+    (kernel grads through both SAC passes), doffsets (flow grads)."""
+    b, h, w, c, ac = 1, 16, 24, 8, 2
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(RNG.standard_normal((b, h, w, ac * 3 * c)),
+                         jnp.float32)
+    offsets = jnp.asarray(RNG.uniform(-1.3, 1.3, (ac, b, h, w, 2)),
+                          jnp.float32)
+    g_ref, g_fus = _fused_bwd_grads(feat_in, pred_k, offsets, ac, c,
+                                    act_last=act_last)
+    for name, gr, gf in zip(["dfeat_in", "dpred_k", "doffsets"],
+                            g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{name} mismatch")
+
+
+def test_iac_fused_bwd_large_uniform_flow():
+    """The per-tile base absorbs a large smooth flow in the backward the
+    same way it does in the forward."""
+    b, h, w, c, ac = 1, 16, 24, 8, 1
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(RNG.standard_normal((b, h, w, ac * 3 * c)),
+                         jnp.float32)
+    offsets = jnp.asarray(
+        RNG.uniform(-0.9, 0.9, (ac, b, h, w, 2))
+        + np.asarray([6.3, -4.2])[None, None, None, None, :], jnp.float32)
+    g_ref, g_fus = _fused_bwd_grads(feat_in, pred_k, offsets, ac, c)
+    for name, gr, gf in zip(["dfeat_in", "dpred_k", "doffsets"],
+                            g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{name} mismatch")
+
+
+def test_iac_fused_bwd_k_rows_and_batch2():
+    """Rows-layout kernels (the MGAA k_rows path) and batch>1."""
+    b, h, w, c, ac = 2, 16, 24, 8, 2
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    ktr = jnp.asarray(RNG.standard_normal((b, h, ac * 3 * c, w)),
+                      jnp.float32)
+    offsets = jnp.asarray(RNG.uniform(-1.3, 1.3, (ac, b, h, w, 2)),
+                          jnp.float32)
+    g_ref, g_fus = _fused_bwd_grads(feat_in, ktr, offsets, ac, c,
+                                    k_rows=True)
+    for name, gr, gf in zip(["dfeat_in", "dpred_k", "doffsets"],
+                            g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{name} mismatch")
+
+
+def test_iac_fused_bwd_under_vmap():
+    """grad-of-vmap folds the backward into the kernel batch grid."""
+    import importlib
+
+    sac_mod = importlib.import_module("fcvsr_tpu.ops.sac")
+
+    vn, b, h, w, c, ac = 2, 1, 16, 24, 8, 1
+    feat = jnp.asarray(RNG.standard_normal((vn, b, h, w, c)), jnp.float32)
+    pred = jnp.asarray(RNG.standard_normal((vn, b, h, w, ac * 3 * c)),
+                       jnp.float32)
+    offs = jnp.asarray(RNG.uniform(-1.3, 1.3, (vn, ac, b, h, w, 2)),
+                       jnp.float32)
+    tgt = jnp.asarray(RNG.standard_normal((vn, b, h, w, c)), jnp.float32)
+
+    def loss(impl):
+        def f(fi, pk, off):
+            out = jax.vmap(lambda a, k, o: iac(
+                a, k, o, ac, c, 3, warp_impl=impl, k1_only=True,
+                k_tap_major=True))(fi, pk, off)
+            return jnp.vdot(out, tgt)
+        return f
+
+    g_ref = jax.grad(loss("gather"), (0, 1, 2))(feat, pred, offs)
+    sac_mod.set_iac_bwd("fused")
+    try:
+        g_fus = jax.grad(loss("pallas"), (0, 1, 2))(feat, pred, offs)
+    finally:
+        sac_mod.set_iac_bwd("gather")
+    for name, gr, gf in zip(["dfeat_in", "dpred_k", "doffsets"],
+                            g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{name} mismatch")

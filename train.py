@@ -436,6 +436,13 @@ def main(argv=None):
         # --warp-impl pallas trains through the fused IAC under its
         # custom VJP (see --fast help for why it is not the default)
         model = _dc.replace(model, warp_impl=args.warp_impl)
+        if args.warp_impl == "pallas":
+            from fcvsr_tpu.ops.sac import set_iac_bwd
+
+            # fused adjoint kernels for the chain backward too — without
+            # this the custom VJP re-runs the gather forward (the reason
+            # --fast alone keeps the exact warp)
+            set_iac_bwd("fused")
     dataset = build_dataset(cfg)
     schedule = build_schedule(cfg)
     # per-host data stream: distinct sampling stream per process (the
