@@ -517,8 +517,11 @@ def _bwd_kernel(rows0_ref, bxs_ref, offy_ref, offx_ref, mask_ref, g_ref,
                         else t_acc + ex[f] * sl
                     u_acc = exp_[f] * sl if u_acc is None \
                         else u_acc + exp_[f] * sl
-                    wacc[f + tx] = wacc[f + tx].at[
-                        e + ty : e + ty + th].add(ex[f] * vy)
+                    # pad+add, not .at[].add: jnp's indexed add always
+                    # lowers to scatter-add, which Mosaic TPU lacks
+                    wacc[f + tx] = wacc[f + tx] + jnp.pad(
+                        ex[f] * vy,
+                        ((e + ty, wrows - th - e - ty), (0, 0), (0, 0)))
                 s = s + ey * t_acc
                 dsda = dsda + eyp * t_acc
                 dsdb = dsdb + ey * u_acc
@@ -535,11 +538,17 @@ def _bwd_kernel(rows0_ref, bxs_ref, offy_ref, offx_ref, mask_ref, g_ref,
             doffx_ref[0, k] = (gsum(v * dsdb) * ibx[k]) \
                 .astype(doffx_ref.dtype)
 
-            colswap = jnp.swapaxes(col, 1, 2)           # (th, w, c)
-            dws.append(jax.lax.dot_general(
-                colswap, g,
-                dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32))    # (c, cout)
+            # dW_k = sum_t col[t] @ g[t]: per-row 2D matmuls — a single
+            # dot_general contracting (th, w) at once fails to lower
+            # ('tpu.matmul lhs contracting dims must be of size 1')
+            dwk = None
+            for t in range(th):
+                d = jax.lax.dot_general(
+                    col[t], g[t],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (c, cout)
+                dwk = d if dwk is None else dwk + d
+            dws.append(dwk)
 
         # dW: accumulate across this batch element's row tiles
         dwall = jnp.concatenate(dws, axis=0)            # (k9*c, cout)

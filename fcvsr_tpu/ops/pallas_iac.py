@@ -644,8 +644,11 @@ def _bwd_kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref,
                     pef = jnp.sum(dwarped * sl, axis=1)  # (wh, w)
                     dfy_acc = dfy_acc + (gep * wx[f]) * pef
                     dfx_acc = dfx_acc + (ge * wxp[f]) * pef
-                    wacc[f] = wacc[f].at[e : e + wh].add(
-                        (ge * wx[f])[:, None, :] * dwarped)
+                    # pad+add, not .at[].add: jnp's indexed add always
+                    # lowers to scatter-add, which Mosaic TPU lacks
+                    wacc[f] = wacc[f] + jnp.pad(
+                        (ge * wx[f])[:, None, :] * dwarped,
+                        ((e, wrows - wh - e), (0, 0), (0, 0)))
             dfy_ref[0, 0] = (dfy_acc * iay).astype(dfy_ref.dtype)
             dfx_ref[0, 0] = (dfx_acc * ibx).astype(dfx_ref.dtype)
 
