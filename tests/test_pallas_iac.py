@@ -354,3 +354,100 @@ def test_iac_fused_bwd_under_vmap():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"{name} mismatch")
+
+
+def test_iac_fused_bwd_chain_flip_aware():
+    """Leaky-relu mask flips between fp-different forwards are NOT bugs.
+
+    lrelu' is discontinuous at 0: the gather chain's jax.grad masks each
+    iteration with the *gather* forward's activations while the fused VJP
+    masks with the *fused* forward's — when an activation lands within fp
+    noise of 0 (seed 2 at this shape puts one ~2e-6 from 0 at
+    [0, 37, 63, 4]) the two pick different mask branches (1 vs 0.1), both
+    valid subgradients, and the deviation spreads ±3 rows/cols through the
+    earlier iterations' adjoints (~16 O(1)-deviating elements here).
+
+    The strict golden is therefore the COMPOSED reference: gather
+    per-iteration VJPs chained around the fused forward's own
+    intermediates, making every mask decision bitwise identical.  Any real
+    adjoint-kernel bug still fails this; forward fp noise cannot.
+    """
+    import importlib
+
+    sac_mod = importlib.import_module("fcvsr_tpu.ops.sac")
+
+    h, w, c, ac, b = 64, 96, 16, 2, 2
+    rng = np.random.default_rng(2)  # pinned: produces a mask flip (CPU)
+    feat_in = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(rng.standard_normal((b, h, w, ac * 3 * c)),
+                         jnp.float32)
+    offsets = jnp.asarray(rng.uniform(-1.3, 1.3, (ac, b, h, w, 2)),
+                          jnp.float32)
+    v = jnp.asarray(rng.standard_normal(feat_in.shape), jnp.float32)
+
+    kw = dict(k1_only=True, k_tap_major=True, act_last=True)
+
+    def f(impl):
+        def g(fi, pk, off):
+            out = iac(fi, pk, off, ac, c, 3, warp_impl=impl, **kw)
+            return jnp.vdot(out, v)
+        return g
+
+    g_naive = jax.jit(jax.grad(f("gather"), (0, 1, 2)))(
+        feat_in, pred_k, offsets)
+    sac_mod.set_iac_bwd("fused")
+    try:
+        g_fus = jax.jit(jax.grad(f("pallas"), (0, 1, 2)))(
+            feat_in, pred_k, offsets)
+    finally:
+        sac_mod.set_iac_bwd("gather")
+
+    # ---- composed reference: fused forward intermediates, gather adjoints
+    cur = [feat_in]
+    for i in range(ac):
+        chunk = pred_k[..., i * 3 * c : (i + 1) * 3 * c]
+        act_i = i < ac - 1 or kw["act_last"]
+        cur.append(warp_sac_fused(cur[i], offsets[i], chunk, feat_in,
+                                  act=act_i, interpret=True))
+
+    def it_noact(src, off, ktm):
+        return sac(flow_warp(src, off), ktm, ktm, 3, kernel1_both=True,
+                   tap_major=True)
+
+    g_cur = v
+    dfin = jnp.zeros_like(v)
+    dks = [None] * ac
+    dffs = [None] * ac
+    for i in reversed(range(ac)):
+        if i < ac - 1 or kw["act_last"]:
+            gz = g_cur * jnp.where(cur[i + 1] >= 0, 1.0, 0.1)
+        else:
+            gz = g_cur
+        dfin = dfin + gz
+        chunk = pred_k[..., i * 3 * c : (i + 1) * 3 * c]
+        _, vjp = jax.vjp(it_noact, cur[i], offsets[i], chunk)
+        g_cur, dffs[i], dks[i] = vjp(gz)
+    g_comp = (dfin + g_cur, jnp.concatenate(dks, axis=-1), jnp.stack(dffs))
+
+    # the composed reference must match strictly — chain values reach ~1e2
+    for name, gr, gf in zip(["dfeat_in", "dpred_k", "doffsets"],
+                            g_comp, g_fus):
+        gr, gf = np.asarray(gr), np.asarray(gf)
+        scale = np.abs(gr).max()
+        np.testing.assert_allclose(gf, gr, atol=5e-5 * scale,
+                                   err_msg=f"{name} composed mismatch")
+
+    # document the phenomenon when this environment reproduces the flip
+    # (fp-order dependent; absence is not a failure)
+    flip = np.argwhere((np.asarray(cur[-1]) >= 0)
+                       != (np.asarray(iac(feat_in, pred_k, offsets, ac, c,
+                                          3, warp_impl="gather", **kw))
+                           >= 0))
+    if flip.shape[0]:
+        naive_dev = max(
+            float(np.abs(np.asarray(a) - np.asarray(b_)).max()
+                  / (np.abs(np.asarray(a)).max() + 1e-12))
+            for a, b_ in zip(g_naive, g_fus))
+        assert naive_dev > 1e-3, (
+            "a mask flip exists but the naive comparison no longer "
+            "deviates — the pinned repro has drifted; re-pin the seed")
