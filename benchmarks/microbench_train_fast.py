@@ -86,13 +86,37 @@ def main():
         sac_mod.set_iac_bwd("gather")
         g_ref = jtu.tree_map(np.asarray, jax.jit(
             jax.grad(loss_fn(ref_model)))(state.params))
+        # Flip-aware metrics: lrelu mask flips between the fp-different
+        # forwards (fused vs gather) give sparse O(1) element deviations
+        # that are valid subgradient disagreements, not bugs (see
+        # tests/test_pallas_iac.py::test_iac_fused_bwd_chain_flip_aware —
+        # the op-level composed golden is the strict check).  A wiring bug
+        # (wrong routing/layout/iteration) deviates densely and tanks the
+        # cosine; flips keep cosine ~1 and the deviating fraction tiny.
         rels = jtu.tree_map(
             lambda a, bb: float(np.abs(a - bb).max()
                                 / (np.abs(bb).max() + 1e-12)), g_fus, g_ref)
         worst = max(jtu.tree_leaves(rels))
+
+        def cos(a, bb):
+            na = float(np.linalg.norm(a.ravel()))
+            nb = float(np.linalg.norm(bb.ravel()))
+            if na == 0.0 and nb == 0.0:
+                return 1.0
+            return float(np.vdot(a.ravel(), bb.ravel()) / (na * nb + 1e-30))
+
+        def frac(a, bb):
+            sc = np.abs(bb).max() + 1e-12
+            return float((np.abs(a - bb) > 1e-3 * sc).mean())
+
+        worst_cos = min(jtu.tree_leaves(jtu.tree_map(cos, g_fus, g_ref)))
+        worst_frac = max(jtu.tree_leaves(jtu.tree_map(frac, g_fus, g_ref)))
+        ok = worst < 2e-2 or (worst_cos > 0.999 and worst_frac < 1e-3)
         print(json.dumps({"op": "golden", "worst_rel_dev": round(worst, 6),
+                          "worst_cos": round(worst_cos, 6),
+                          "worst_dev_frac": round(worst_frac, 6),
                           "compile_s": round(compile_s, 1),
-                          "ok": bool(worst < 2e-2)}), flush=True)
+                          "ok": bool(ok)}), flush=True)
         return
 
     step = make_train_step(model, "charbonnier_mean", donate=False)
