@@ -25,6 +25,8 @@ already banked):
   identical to the per-frame path.
 - fcvsr_s_train_step_ms — one optimizer step (batch 2, 64px patches), the
   round-2 CLAUDE.md measurement promoted to a tracked metric.
+- fcvsr_s_train_fast_step_ms — the same step through train.py --fast's
+  routing (fused Pallas IAC forward + fused adjoint kernels).
 
 Environment notes (see CLAUDE.md): the axon TPU tunnel is a single-client
 service where a failing program can wedge the backend for a long time, and
@@ -59,6 +61,9 @@ ATTEMPTS = [
     # regime where batching would start to win).
     ("fcvsr_full_throughput_480x272", "tput", "fcvsr_pallas", 272, 480, 2, 2700),
     ("fcvsr_s_train_step_ms", "train", "fcvsr_s", 64, 64, 2, 1800),
+    # train.py --fast routing: fused IAC forward + fused Pallas adjoint
+    # kernels (set_iac_bwd('fused'); measured 24.5 vs 28.9 ms exact r3)
+    ("fcvsr_s_train_fast_step_ms", "train", "fcvsr_s_train_fast", 64, 64, 2, 1800),
     # zoo perf tracking: EDVR was pathological on TPU (0.6 fps r1, DCN
     # gathers); the fused Pallas DCN (ops/pallas_dcn.py, 44x on the L1
     # call) is the fix — this entry keeps it measured.
@@ -102,6 +107,11 @@ def make(name, **kw):
                         head_dtype="bf16", mffr_dtype="bf16", **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
+    if name == "fcvsr_s_train_fast":
+        # train.py --fast: fused IAC chain forward + fused adjoint kernels
+        from fcvsr_tpu.ops.sac import set_iac_bwd
+        set_iac_bwd("fused")
+        return FCVSRNet.small(in_channels=1, warp_impl="pallas", **kw)
     if name == "fcvsr_s_pallas":
         # same deployment flag set as fcvsr_pallas on the S topology
         return FCVSRNet.small(in_channels=1, warp_impl="pallas",

@@ -69,54 +69,53 @@ def main():
                                cosine_restart(2e-4, [600000], [1.0]))
 
     if args.op == "golden":
+        # SAME-FORWARD comparison: the fused primal is held fixed and only
+        # the backward routing varies (fused adjoint kernels vs the exact
+        # gather-path VJP on the identical primal).  Identical primal ->
+        # identical lrelu masks -> the two VJPs must agree to
+        # fp-accumulation noise if the adjoints are correct.  Comparing
+        # across warp_impl='pallas' vs 'gather' FORWARDS instead measures
+        # fp-different-primal amplification through 36 chained iterations
+        # (lrelu mask flips; measured 29% rel dev on TPU) — a property of
+        # the model, not of the kernels.  A spy asserts the fused VJP
+        # actually executed (see the flag-scoping trap in CLAUDE.md).
         import jax.tree_util as jtu
 
+        import fcvsr_tpu.ops.pallas_iac as piac
         from fcvsr_tpu.train.trainer import charbonnier
 
-        def loss_fn(m):
-            def f(p):
-                return charbonnier(m.apply(p, x), gt)
-            return f
+        def loss(p):
+            return charbonnier(model.apply(p, x), gt)
 
-        ref_model = FCVSRNet.small(in_channels=1, warp_impl="gather")
+        calls = {"n": 0}
+        orig = piac.iac_fused_vjp
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        sac_mod.set_iac_bwd("fused")
+        piac.iac_fused_vjp = spy
         t0 = time.perf_counter()
-        g_fus = jax.jit(jax.grad(loss_fn(model)))(state.params)
-        g_fus = jtu.tree_map(np.asarray, g_fus)
+        try:
+            g_fus = jtu.tree_map(np.asarray,
+                                 jax.jit(jax.grad(loss))(state.params))
+        finally:
+            piac.iac_fused_vjp = orig
         compile_s = time.perf_counter() - t0
+        assert calls["n"] >= 1, "fused IAC VJP was never traced"
+
         sac_mod.set_iac_bwd("gather")
-        g_ref = jtu.tree_map(np.asarray, jax.jit(
-            jax.grad(loss_fn(ref_model)))(state.params))
-        # Flip-aware metrics: lrelu mask flips between the fp-different
-        # forwards (fused vs gather) give sparse O(1) element deviations
-        # that are valid subgradient disagreements, not bugs (see
-        # tests/test_pallas_iac.py::test_iac_fused_bwd_chain_flip_aware —
-        # the op-level composed golden is the strict check).  A wiring bug
-        # (wrong routing/layout/iteration) deviates densely and tanks the
-        # cosine; flips keep cosine ~1 and the deviating fraction tiny.
+        jax.clear_caches()
+        g_ref = jtu.tree_map(np.asarray,
+                             jax.jit(jax.grad(loss))(state.params))
         rels = jtu.tree_map(
             lambda a, bb: float(np.abs(a - bb).max()
                                 / (np.abs(bb).max() + 1e-12)), g_fus, g_ref)
         worst = max(jtu.tree_leaves(rels))
-
-        def cos(a, bb):
-            na = float(np.linalg.norm(a.ravel()))
-            nb = float(np.linalg.norm(bb.ravel()))
-            if na == 0.0 and nb == 0.0:
-                return 1.0
-            return float(np.vdot(a.ravel(), bb.ravel()) / (na * nb + 1e-30))
-
-        def frac(a, bb):
-            sc = np.abs(bb).max() + 1e-12
-            return float((np.abs(a - bb) > 1e-3 * sc).mean())
-
-        worst_cos = min(jtu.tree_leaves(jtu.tree_map(cos, g_fus, g_ref)))
-        worst_frac = max(jtu.tree_leaves(jtu.tree_map(frac, g_fus, g_ref)))
-        ok = worst < 2e-2 or (worst_cos > 0.999 and worst_frac < 1e-3)
         print(json.dumps({"op": "golden", "worst_rel_dev": round(worst, 6),
-                          "worst_cos": round(worst_cos, 6),
-                          "worst_dev_frac": round(worst_frac, 6),
                           "compile_s": round(compile_s, 1),
-                          "ok": bool(ok)}), flush=True)
+                          "ok": bool(worst < 2e-2)}), flush=True)
         return
 
     step = make_train_step(model, "charbonnier_mean", donate=False)

@@ -292,12 +292,12 @@ def test_warm_start_and_explicit_resume(synthetic_dataset, tmp_path):
 
 @pytest.mark.slow
 def test_train_fast_flag_uses_pallas_kernels(synthetic_dataset, tmp_path):
-    """`train.py --fast --warp-impl pallas` routes training through the
-    fused Pallas IAC (interpret mode on CPU) via its custom VJP: at
-    --lr-patch 16 the MGAA IAC runs at 16 rows, which satisfies the fused
-    kernel's tiling contract, so this exercises the real kernel-under-grad
-    path.  (--fast alone keeps the exact warp for FCVSR — measured slower
-    to train through the fused kernel; see the --fast help text.)"""
+    """`train.py --fast` routes FCVSR training through the fused Pallas
+    IAC (interpret mode on CPU) with the fused adjoint kernels
+    (set_iac_bwd('fused') — measured 24.5 vs 28.9 ms/step exact on TPU):
+    at --lr-patch 16 the MGAA IAC runs at 16 rows, which satisfies the
+    fused kernel's tiling contract, so this exercises the real
+    kernel-under-grad path."""
     lr_root, gt_root = synthetic_dataset
     work_dir = str(tmp_path / "work")
 
@@ -307,7 +307,7 @@ def test_train_fast_flag_uses_pallas_kernels(synthetic_dataset, tmp_path):
         "--preset", "fcvsr_s_redsLD_QP37",
         "--lr-root", lr_root, "--gt-root", gt_root,
         "--work-dir", work_dir, "--total-iters", "2", "--batch-size", "8",
-        "--lr-patch", "16", "--fast", "--warp-impl", "pallas",
+        "--lr-patch", "16", "--fast",
     ])
     assert os.path.isdir(
         os.path.join(work_dir, "fcvsr_s_redsLD_QP37", "ckpt"))

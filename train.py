@@ -340,18 +340,20 @@ def main(argv=None):
     # multi-host launch (replaces the reference dist_train.sh / init_dist;
     # see docs/MULTIHOST.md for the per-host invocation recipe)
     parser.add_argument("--fast", action="store_true",
-                        help="train through the fused Pallas DCN, both "
-                             "directions (set_dcn_impl('pallas') + "
-                             "set_dcn_bwd('fused'): fused forward AND "
-                             "its Pallas adjoint kernel, so EDVR/"
-                             "BasicVSR++/TDAN/IconVSR training wins "
-                             "big).  FCVSR keeps the exact gather warp: "
-                             "the fused-IAC custom VJP's backward "
-                             "re-runs the gather forward, and at "
-                             "training patch sizes that overhead "
-                             "exceeds the fused primal win (measured "
-                             "31.3 vs 28.9 ms/step, S 64px b2 on TPU) — "
-                             "use --warp-impl pallas to override")
+                        help="train through the fused Pallas kernels, "
+                             "both directions.  DCN families (EDVR/"
+                             "BasicVSR++/TDAN/IconVSR): set_dcn_impl("
+                             "'pallas') + set_dcn_bwd('fused').  FCVSR: "
+                             "warp_impl='pallas' + set_iac_bwd('fused') "
+                             "— the fused IAC chain adjoint kernels "
+                             "(measured 24.5 vs 28.9 ms/step exact, S "
+                             "64px b2 on TPU; fused fwd + gather VJP "
+                             "was 30.8).  Gradients match the exact VJP "
+                             "on the same primal to fp accumulation "
+                             "(~3e-4); the fused primal itself is "
+                             "fp-different from the gather forward.  "
+                             "Use --warp-impl gather to keep the exact "
+                             "warp under --fast")
     parser.add_argument("--warp-impl", type=str, default="",
                         choices=["", "gather", "pallas"],
                         help="override FCVSR warp_impl for training "
@@ -429,19 +431,20 @@ def main(argv=None):
         f.write(cfg.to_json())
 
     model = build_model(cfg)
-    if args.warp_impl and cfg.model.name in ("fcvsr", "fcvsr_s"):
+    warp_impl = args.warp_impl
+    if not warp_impl and args.fast and cfg.model.name in ("fcvsr", "fcvsr_s"):
+        warp_impl = "pallas"  # fused IAC + fused adjoints (see --fast help)
+    if warp_impl and cfg.model.name in ("fcvsr", "fcvsr_s"):
         import dataclasses as _dc
 
-        # batch_mgaa stays off: it is an eval-harness batching; explicit
-        # --warp-impl pallas trains through the fused IAC under its
-        # custom VJP (see --fast help for why it is not the default)
-        model = _dc.replace(model, warp_impl=args.warp_impl)
-        if args.warp_impl == "pallas":
+        # batch_mgaa stays off: it is an eval-harness batching
+        model = _dc.replace(model, warp_impl=warp_impl)
+        if warp_impl == "pallas":
             from fcvsr_tpu.ops.sac import set_iac_bwd
 
             # fused adjoint kernels for the chain backward too — without
-            # this the custom VJP re-runs the gather forward (the reason
-            # --fast alone keeps the exact warp)
+            # this the custom VJP re-runs the gather forward and loses
+            # (30.8 vs 28.9 ms/step exact; fused bwd wins at 24.5)
             set_iac_bwd("fused")
     dataset = build_dataset(cfg)
     schedule = build_schedule(cfg)
