@@ -2,31 +2,48 @@
 
 Mirrors the reference FPS harness (CVSR_train/test_LD_freqCVSR_FPS.py:62-77):
 sliding 7-frame windows, one SR frame per forward, steady-state wall clock at
-the reference benchmark shapes (Kimono1 480x272 headline).  Prints ONE JSON
-line.
+the reference benchmark shapes — Johnny 320x184, Kimono1 480x272 (headline),
+PeopleOnStreet 640x400 (test_LD_freqCVSR_FPS.py:82-91).
 
-Ladder (safest first; each config runs in its own subprocess with a hard
-timeout so a hang or failure on a bigger config cannot take down numbers
-already banked):
-- fcvsr_s_fps_320x184 / fcvsr_full_fps_480x272 — harness-parity batch-1
-  per-frame mode on the bit-exact gather path (checkpoint-parity tracking,
-  comparable to rounds 1-2).
-- fcvsr_full_pallas_fps_480x272 — same harness mode on the deployment
-  path: fused Pallas IAC (ops/pallas_iac.py), rows-layout Pallas SCNet
-  (models/scnet_rows.py) and batch-axis MGAA batching, gated on an
-  on-device isfinite probe with automatic fallback to the sequential
-  exact path.  This is the HEADLINE when it succeeds: the reference's FPS
-  harness measures *its* deployment path (the DCN CUDA kernels), so the
-  parity-correct comparison is deployment path vs deployment path —
-  vs_baseline still compares against the round-1 full-model pin (same
-  model, shape and harness semantics at TPU serving precision).
-- fcvsr_full_throughput_480x272 — deployment mode: B=4 sliding windows per
-  dispatch (a TPU deployment would never serve batch-1); per-window math
-  identical to the per-frame path.
-- fcvsr_s_train_step_ms — one optimizer step (batch 2, 64px patches), the
-  round-2 CLAUDE.md measurement promoted to a tracked metric.
-- fcvsr_s_train_fast_step_ms — the same step through train.py --fast's
-  routing (fused Pallas IAC forward + fused adjoint kernels).
+Capture contract (VERDICT r3 #1 — results must be un-losable):
+- Every rung runs in its own subprocess with a hard timeout; the moment a
+  rung lands its value is appended to BENCH_partial.json AND the full
+  cumulative JSON line is printed (flushed).  The LAST stdout line is
+  therefore always the most complete parseable result, even if the driver
+  kills this process mid-ladder.
+- SIGTERM/SIGINT print the final JSON before exiting, so `timeout N
+  python bench.py` still yields the banked rungs.
+- A total wall-clock budget (--budget / BENCH_BUDGET_S, default 5400 s)
+  stops LAUNCHING new rungs when the remaining time cannot fit one; each
+  rung's subprocess timeout is clamped to the remaining budget.
+- A tiny jnp.dot pre-probe measures tunnel latency; when the tunnel is
+  congested (dot > 120 s — see CLAUDE.md 2026-08-20 session: 211 s dot,
+  600 s Mosaic timeout) per-rung timeouts are stretched 2x, within budget.
+- One rung failing no longer kills the ladder: a quick dot re-probe decides
+  whether the tunnel is wedged (stop) or the rung alone is broken (skip).
+
+Ladder order is value-per-minute (VERDICT r3 #1): exact-S first (fastest
+compile, proves the tunnel), then the two deployment headline rungs, then
+train steps, zoo, the 640x400 stress shapes, and the B=2 throughput guard.
+
+- *_pallas entries are the DEPLOYMENT path: fused Pallas IAC
+  (ops/pallas_iac.py), rows-layout Pallas SCNet (models/scnet_rows.py),
+  batch-axis MGAA batching gated on an on-device isfinite probe, bf16
+  spectral head / MFFR / IAC-chain storage, folded f32 tail.  This is the
+  HEADLINE when it succeeds: the reference's FPS harness measures *its*
+  deployment path (the DCN CUDA kernels), so the parity-correct comparison
+  is deployment path vs deployment path — vs_baseline still compares
+  against the round-1 full-model pin (same model, shape and harness
+  semantics at TPU serving precision).
+- fcvsr_full_throughput_480x272 — B=2 sliding windows per dispatch; round-3
+  measured that window batching LOSES at this size (B=1 3.91 / B=2 3.65 /
+  B=4 3.31 fps — bandwidth-bound, chip saturated at batch 1); the entry
+  stays to prove that and to catch a future dispatch-bound regime.
+- fcvsr_s_train_step_ms / fcvsr_s_train_fast_step_ms — one optimizer step
+  (batch 2, 64px patches), exact vs train.py --fast routing (fused Pallas
+  IAC forward + fused adjoint kernels).
+- edvr/basicvsr_pp/tdan entries track the fused Pallas DCN families
+  (ops/pallas_dcn.py; EDVR was 0.6 fps on the gather path in round 1).
 
 Environment notes (see CLAUDE.md): the axon TPU tunnel is a single-client
 service where a failing program can wedge the backend for a long time, and
@@ -37,70 +54,81 @@ reference repo publishes no FPS number, BASELINE.md).  TPU_PROBE.json
 (tools/tpu_probe.py) is folded into the output when present.
 """
 
+import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
+import time
 
-# (metric, kind, model, h, w, batch, subprocess timeout s).
+# (metric, kind, model, h, w, batch, base subprocess timeout s).
 # kind: fps = per-frame harness mode; tput = batched-window throughput;
-# train = train-step ms.  The LAST fps success on the exact path is the
-# headline.  Compiles through the tunnel take 4-6 min per program, hence
-# the generous timeouts.
+# train = train-step ms.  Ordered by value-per-minute; timeouts assume a
+# healthy tunnel (compiles 4-6 min) and stretch 2x under congestion.
 ATTEMPTS = [
-    ("fcvsr_s_fps_320x184", "fps", "fcvsr_s", 184, 320, 1, 1800),
-    # S-model deployment path (the reference FPS harness measures both
-    # FCVSR and FCVSR-S — test_LD_freqCVSR_S_FPS.py); never the headline
-    ("fcvsr_s_pallas_fps_320x184", "fps", "fcvsr_s_pallas", 184, 320, 1, 2700),
-    ("fcvsr_full_fps_480x272", "fps", "fcvsr", 272, 480, 1, 2700),
-    ("fcvsr_full_pallas_fps_480x272", "fps", "fcvsr_pallas", 272, 480, 1, 2700),
-    # batched sliding windows: measured round 3 B=1 3.91 / B=2 3.65 / B=4
-    # 3.31 fps — the model is bandwidth-bound at this spatial size, so the
-    # chip is already saturated at batch 1 and window batching LOSES; the
-    # entry stays to prove that (and to catch a future dispatch-bound
-    # regime where batching would start to win).
-    ("fcvsr_full_throughput_480x272", "tput", "fcvsr_pallas", 272, 480, 2, 2700),
+    ("fcvsr_s_fps_320x184", "fps", "fcvsr_s", 184, 320, 1, 1500),
+    ("fcvsr_full_pallas_fps_480x272", "fps", "fcvsr_pallas", 272, 480, 1, 2400),
+    ("fcvsr_s_pallas_fps_320x184", "fps", "fcvsr_s_pallas", 184, 320, 1, 2400),
+    ("fcvsr_full_fps_480x272", "fps", "fcvsr", 272, 480, 1, 2400),
     ("fcvsr_s_train_step_ms", "train", "fcvsr_s", 64, 64, 2, 1800),
-    # train.py --fast routing: fused IAC forward + fused Pallas adjoint
-    # kernels (set_iac_bwd('fused'); measured 24.5 vs 28.9 ms exact r3)
+    # train.py --fast routing (fused IAC fwd + fused adjoint kernels;
+    # measured 24.5 vs 28.9 ms exact, benchmarks/microbench_train_fast.py)
     ("fcvsr_s_train_fast_step_ms", "train", "fcvsr_s_train_fast", 64, 64, 2, 1800),
-    # zoo perf tracking: EDVR was pathological on TPU (0.6 fps r1, DCN
-    # gathers); the fused Pallas DCN (ops/pallas_dcn.py, 44x on the L1
-    # call) is the fix — this entry keeps it measured.
-    ("edvr_pallas_fps_320x184", "fps", "edvr_pallas", 184, 320, 1, 2700),
+    ("edvr_pallas_fps_320x184", "fps", "edvr_pallas", 184, 320, 1, 2400),
+    ("basicvsr_pp_pallas_fps_320x192", "fps", "basicvsr_pp_pallas", 192, 320, 1, 2400),
+    ("tdan_pallas_fps_320x184", "fps", "tdan_pallas", 184, 320, 1, 2400),
+    # PeopleOnStreet 640x400 — the largest reference harness shape; stress
+    # for _pick_tile_rows / VMEM budgets in the fused kernels.
+    ("fcvsr_s_pallas_fps_640x400", "fps", "fcvsr_s_pallas", 400, 640, 1, 2400),
+    ("fcvsr_full_pallas_fps_640x400", "fps", "fcvsr_pallas", 400, 640, 1, 2700),
+    ("fcvsr_full_throughput_480x272", "tput", "fcvsr_pallas", 272, 480, 2, 2400),
 ]
-HEADLINE = "fcvsr_full_pallas_fps_480x272"
+# headline preference, first banked wins
+HEADLINE_PREF = ("fcvsr_full_pallas_fps_480x272", "fcvsr_full_fps_480x272",
+                 "fcvsr_s_pallas_fps_320x184", "fcvsr_s_fps_320x184")
+
+_PROBE = r"""
+import os, time, sys
+import numpy as np
+import jax
+if os.environ.get("BENCH_CPU"):  # harness validation off-tunnel (tests)
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+t0 = time.perf_counter()
+v = np.asarray(jnp.dot(jnp.ones((256, 256)), jnp.ones((256, 256))).mean())
+print("DOT_OK", round(time.perf_counter() - t0, 1), float(v), flush=True)
+"""
 
 _WORKER = r"""
-import functools, json, sys, time
+import functools, json, os, sys, time
 import numpy as np
 
 kind, model_name, h, w, batch = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
                                  int(sys.argv[4]), int(sys.argv[5]))
 
 import jax
+if os.environ.get("BENCH_CPU"):  # harness validation off-tunnel (tests)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 sys.path.insert(0, {repo!r})
 from fcvsr_tpu.models import EDVRNet, FCVSRNet
 
 rng = np.random.default_rng(0)
+frames_per_fwd = 1
 
 def make(name, **kw):
+    global frames_per_fwd
     if name == "fcvsr":
         return FCVSRNet(in_channels=1, **kw)
     if name == "fcvsr_pallas":
+        # Deployment flag set (measured round 3, see docs/PERFORMANCE.md):
         # fused Pallas IAC (bounded-deviation contract, ops/pallas_iac.py)
         # + batch-axis MGAA batching (CPU-exact; finite-probed below)
-        # + bf16-storage rows-layout Pallas SCNet (models/scnet_rows.py;
-        #   60.6 dB PSNR vs the f32 chain — measured round 3)
-        # + f32 upsampling tail, polyphase-folded to (H, W) (ops/psfold.py
-        #   — exact kernel rearrangement; post-fold the tail is MXU-bound
-        #   and bf16 storage LOSES: 10.88 f32 vs 10.69 bf16 in-chain)
-        # + bf16-storage fused IAC chain
-        # + bf16 MGAA spectral head (single-pass bf16 DFT + bf16 head
-        #   convs; MGAA 16.5 -> 13.9 ms)
-        # + bf16 MFFR band split + DivEnh chain (19.2 -> 6.4 ms standalone)
-        # Total 10.88 fps @480x272; 62.6 dB PSNR vs the f32 chain (delta_max 0.0039).
+        # + bf16-storage rows-layout Pallas SCNet (models/scnet_rows.py)
+        # + f32 polyphase-folded tail (ops/psfold.py — bf16 LOSES post-fold)
+        # + bf16-storage fused IAC chain + bf16 MGAA spectral head + bf16
+        #   MFFR band split.  62.6 dB PSNR vs the f32 chain (delta 0.0039).
         return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
                         scnet_impl="rows_bf16",
                         iac_dtype="bf16", tail_impl="folded",
@@ -118,14 +146,23 @@ def make(name, **kw):
                               batch_mgaa=True, scnet_impl="rows_bf16",
                               iac_dtype="bf16", tail_impl="folded",
                               head_dtype="bf16", mffr_dtype="bf16", **kw)
-    if name == "edvr_pallas":
-        from fcvsr_tpu.ops.dcn import set_dcn_impl
-        set_dcn_impl("pallas")  # fused DCN (ops/pallas_dcn.py)
+    from fcvsr_tpu.ops.dcn import set_dcn_impl
+    set_dcn_impl("pallas")  # fused DCN (ops/pallas_dcn.py) for the zoo
+    if name == "basicvsr_pp_pallas":
+        from fcvsr_tpu.models.basicvsr_pp import BasicVSRPlusPlus
+        frames_per_fwd = 7  # recurrent: all T frames restored per forward
+        return BasicVSRPlusPlus()
+    if name == "tdan_pallas":
+        from fcvsr_tpu.models.iconvsr import TDANNet
+        return TDANNet()
     return EDVRNet(in_channels=3, out_channels=3, num_frames=5)
 
 model = make(model_name)
 if model_name.startswith("edvr"):
     x = jnp.asarray(rng.uniform(0, 1, (batch, 5, 3, h, w)), jnp.float32)
+elif model_name.startswith(("basicvsr_pp", "tdan")):
+    t = 7 if model_name.startswith("basicvsr_pp") else 5
+    x = jnp.asarray(rng.uniform(0, 1, (batch, t, 3, h, w)), jnp.float32)
 else:
     x = jnp.asarray(rng.uniform(0, 1, (batch, 7, 1, h, w)), jnp.float32)
 
@@ -155,7 +192,7 @@ if kind == "train":
         return time.perf_counter() - t0
     base = min(timed(1) for _ in range(2))
     total = min(timed(N) for _ in range(2))
-    print("MS_RESULT", (total - base) / (N - 1) * 1e3)
+    print("MS_RESULT", (total - base) / (N - 1) * 1e3, flush=True)
     sys.exit(0)
 
 params = model.init(jax.random.PRNGKey(0), x)
@@ -164,7 +201,9 @@ if model_name in ("fcvsr_pallas", "fcvsr_s_pallas"):
     # on-device finite probe: the old TPU runtime returned non-finite
     # outputs from the batched MGAA variant (round 2) — fall back to the
     # sequential exact-warp model if that ever recurs.
-    probe = np.asarray(jnp.mean(model.apply(params, x)))
+    y = model.apply(params, x)
+    y = y[0] if isinstance(y, tuple) else y
+    probe = np.asarray(jnp.mean(y))
     if not np.isfinite(probe):
         print("PROBE_FALLBACK nonfinite", file=sys.stderr)
         model = make("fcvsr_s" if model_name.startswith("fcvsr_s")
@@ -174,7 +213,9 @@ if model_name in ("fcvsr_pallas", "fcvsr_s_pallas"):
 @functools.partial(jax.jit, static_argnums=(2,))
 def run_n(p, v, n):
     def body(i, acc):
-        return acc + jnp.mean(model.apply(p, v * (1.0 + 1e-6 * i)))
+        y = model.apply(p, v * (1.0 + 1e-6 * i))
+        y = y[0] if isinstance(y, tuple) else y
+        return acc + jnp.mean(y)
     return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
 def timed(n):
@@ -188,71 +229,144 @@ N = 20
 timed(1); timed(N)
 base = min(timed(1) for _ in range(2))
 total = min(timed(N) for _ in range(2))
-print("FPS_RESULT", batch * (N - 1) / (total - base))
+print("FPS_RESULT", batch * frames_per_fwd * (N - 1) / (total - base),
+      flush=True)
 """
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 5400)),
+                    help="total wall-clock budget in seconds; no new rung "
+                         "is launched once it cannot fit")
+    ap.add_argument("--only", default="",
+                    help="comma-separated metric names to run (debug)")
+    args = ap.parse_args()
+
     repo = os.path.dirname(os.path.abspath(__file__))
     worker = _WORKER.format(repo=repo)
-    fps, metric, err = 0.0, ATTEMPTS[0][0], None
-    ladder = {}
+    t_start = time.perf_counter()
+    state = {"ladder": {}, "notes": {}}
+
+    def result_json():
+        ladder = state["ladder"]
+        metric, fps = ATTEMPTS[0][0], 0.0
+        for name in HEADLINE_PREF:
+            if ladder.get(name):
+                metric, fps = name, ladder[name]
+                break
+        vs = 1.0
+        baseline_path = os.path.join(repo, "bench_baseline.json")
+        if os.path.exists(baseline_path):
+            try:
+                prev = json.load(open(baseline_path))
+                # exact and deployment entries measure the same model/shape/
+                # harness; both compare against the round-1 full-model pin
+                same = (prev.get("metric") == metric
+                        or (str(prev.get("metric")).startswith("fcvsr_full")
+                            and metric.startswith("fcvsr_full")))
+                if same and prev.get("value") and fps:
+                    vs = fps / prev["value"]
+            except Exception:
+                pass
+        out = {"metric": metric, "value": round(fps, 3),
+               "unit": "frames/sec/chip", "vs_baseline": round(vs, 3),
+               "all": ladder}
+        out.update(state["notes"])
+        probe_path = os.path.join(repo, "TPU_PROBE.json")
+        if os.path.exists(probe_path):
+            try:
+                out["tpu_probe"] = json.load(open(probe_path))
+            except Exception:
+                pass
+        return out
+
+    def bank(extra_print=True):
+        out = result_json()
+        try:
+            with open(os.path.join(repo, "BENCH_partial.json"), "w") as f:
+                json.dump(out, f)
+        except Exception:
+            pass
+        if extra_print:
+            print(json.dumps(out), flush=True)
+        return out
+
+    def on_term(signum, frame):  # noqa: ARG001
+        state["notes"]["interrupted"] = True
+        bank()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    def remaining():
+        return args.budget - (time.perf_counter() - t_start)
+
+    def dot_probe(tmo):
+        try:
+            t0 = time.perf_counter()
+            proc = subprocess.run([sys.executable, "-c", _PROBE],
+                                  capture_output=True, text=True,
+                                  timeout=tmo, cwd=repo)
+            ok = any(l.startswith("DOT_OK") for l in proc.stdout.splitlines())
+            return ok, time.perf_counter() - t0
+        except subprocess.TimeoutExpired:
+            return False, tmo
+
+    # tunnel pre-probe: sets the congestion stretch factor for all rungs
+    probe_tmo = min(900.0, max(remaining() - 60, 60.0))
+    dot_ok, dot_s = dot_probe(probe_tmo)
+    state["notes"]["tunnel_dot_s"] = round(dot_s, 1)
+    slow = 2.0 if (not dot_ok or dot_s > 120) else 1.0
+    if not dot_ok:
+        state["notes"]["tunnel"] = "dot probe failed — tunnel down or wedged"
+    elif slow > 1:
+        state["notes"]["tunnel"] = "congested (dot > 120s); timeouts x2"
+    bank()
+
+    only = [s for s in args.only.split(",") if s]
     for name, kind, model_name, h, w, batch, tmo in ATTEMPTS:
+        if only and name not in only:
+            continue
+        tmo_eff = min(tmo * slow, max(remaining() - 60, 0))
+        # stop only when the BUDGET is what makes the rung unrunnable
+        # (a healthy rung needs its own timeout, or at least 300 s)
+        if tmo_eff < min(300, tmo * slow):
+            state["notes"]["budget_stop"] = name
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", worker, kind, model_name, str(h),
                  str(w), str(batch)],
-                capture_output=True, text=True, timeout=tmo, cwd=repo)
+                capture_output=True, text=True, timeout=tmo_eff, cwd=repo)
+            got = False
             for line in proc.stdout.splitlines():
                 if line.startswith(("FPS_RESULT", "MS_RESULT")):
-                    val = float(line.split()[1])
-                    ladder[name] = round(val, 3)
-                    if kind == "fps" and model_name in (
-                            "fcvsr", "fcvsr_s", "fcvsr_pallas"):
-                        # ladder order makes the deployment path the last
-                        # fps success -> headline (see module docstring)
-                        fps, metric = val, name
+                    state["ladder"][name] = round(float(line.split()[1]), 3)
+                    got = True
                     break
-            else:
-                err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
-                break  # a failure here has likely wedged the tunnel; stop
+            if not got:
+                tailerr = (proc.stderr.strip().splitlines() or ["unknown"])[-1]
+                state["notes"].setdefault("rung_errors", {})[name] = \
+                    tailerr[:200]
         except subprocess.TimeoutExpired:
-            err = f"timeout on {name}"
-            break
+            state["notes"].setdefault("rung_errors", {})[name] = \
+                f"timeout {int(tmo_eff)}s"
+        bank()
+        if name not in state["ladder"]:
+            # one failed rung must not burn the rest of the budget on a
+            # wedged tunnel: quick dot re-probe decides skip vs stop
+            if remaining() < 360:
+                state["notes"]["budget_stop"] = name
+                break
+            ok, _ = dot_probe(min(300.0 * slow, remaining() - 60))
+            if not ok:
+                state["notes"]["tunnel"] = f"wedged after {name}; stopping"
+                break
 
-    baseline_path = os.path.join(repo, "bench_baseline.json")
-    vs = 1.0
-    if os.path.exists(baseline_path):
-        try:
-            prev = json.load(open(baseline_path))
-            # exact and deployment entries measure the same model/shape/
-            # harness; both compare against the round-1 full-model pin
-            same = (prev.get("metric") == metric
-                    or (str(prev.get("metric")).startswith("fcvsr_full")
-                        and metric.startswith("fcvsr_full")))
-            if same and prev.get("value"):
-                vs = fps / prev["value"]
-        except Exception:
-            pass
-
-    out = {
-        "metric": metric,
-        "value": round(fps, 3),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(vs, 3),
-        "all": ladder,  # every ladder entry that completed this run
-    }
-    probe_path = os.path.join(repo, "TPU_PROBE.json")
-    if os.path.exists(probe_path):
-        try:
-            out["tpu_probe"] = json.load(open(probe_path))
-        except Exception:
-            pass
-    if err and fps == 0.0:
-        out["error"] = err
-    elif err:
-        out["ladder_error"] = err
-    print(json.dumps(out))
+    bank()
 
 
 if __name__ == "__main__":

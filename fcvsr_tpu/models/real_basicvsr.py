@@ -2,8 +2,10 @@
 
 Cleaning module (20 residual blocks + conv) applied up to 3 times with a
 data-dependent early stop (mean |residue| < threshold), then BasicVSRNet.
-The dynamic repeat count becomes a ``lax.while_loop`` so the whole forward
-stays one compiled XLA program (no host round-trips per cleaning pass).
+The dynamic repeat count becomes ``lax.cond``-gated unrolled passes (a
+``while_loop`` has no reverse-mode derivative and training needs gradients
+through the cleaning module), so the whole forward stays one compiled XLA
+program (no host round-trips per cleaning pass).
 """
 
 from __future__ import annotations

@@ -200,7 +200,7 @@ def main(argv=None):
     if args.fps:
         fps = fps_benchmark(model, params, c=cfg.model.in_channels)
         print(json.dumps({"fps": round(fps, 2)}))
-        return
+        return {"fps": fps}
 
     from fcvsr_tpu.data import ClipFolderDataset
 
@@ -221,7 +221,9 @@ def main(argv=None):
               flush=True)
     avg = {k: float(np.mean([r[k] for r in results.values() if r[k] is not None]))
            for k in ("psnr", "ssim", "tof")}
-    print(json.dumps({"average": avg, "per_sequence": results}))
+    summary = {"average": avg, "per_sequence": results}
+    print(json.dumps(summary))
+    return summary  # programmatic callers (tools/validate_released_ckpt.py)
 
 
 if __name__ == "__main__":

@@ -138,6 +138,16 @@ def main() -> None:
             results["pallas"] = {"ok": False, "error": "skipped by flag"}
         else:
             results["pallas"] = _run("pallas", _PALLAS, 600)
+        # Congestion hint (ADVICE r3): a pallas ok=false alongside an
+        # anomalously slow dot probe (healthy ~20-50 s incl. backend init)
+        # is tunnel congestion, not a Mosaic regression — say so in the
+        # JSON itself so automated consumers don't key on the bare ok.
+        if (not results["pallas"].get("ok")
+                and results["dot"].get("secs", 0) > 120):
+            results["pallas"]["suspected_cause"] = (
+                "tunnel congestion (dot probe took "
+                f"{results['dot']['secs']}s; healthy is ~20-50s) — "
+                "not a Mosaic/terminal regression")
     else:
         results["note"] = "dot probe failed; tunnel down — skipping the rest"
 
