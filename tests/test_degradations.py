@@ -329,3 +329,39 @@ def test_area_resize_rounding_edge():
     got = resize_image(img2, (2, 2), "area")
     exp = img2.reshape(2, 2, 2, 2, 1).mean((1, 3))
     np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+
+def test_div2k_preprocess_driver(tmp_path):
+    """tools/preprocess_div2k_dataset.py end-to-end on a toy DIV2K layout:
+    HR + X2 sub-image extraction with per-scale crop/step (reference
+    preprocess_div2k_dataset.py main_extract_subimages) and flat-key LMDB
+    packing (prepare_keys_div2k)."""
+    from PIL import Image
+
+    import tools.preprocess_div2k_dataset as div2k
+    from fcvsr_tpu.data.lmdb_reader import SRLmdbDataset
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "DIV2K"
+    (root / "DIV2K_train_HR").mkdir(parents=True)
+    (root / "DIV2K_train_LR_bicubic" / "X2").mkdir(parents=True)
+    hr = rng.integers(0, 255, (20, 28, 3), np.uint8)
+    lr = rng.integers(0, 255, (10, 14, 3), np.uint8)
+    Image.fromarray(hr).save(root / "DIV2K_train_HR" / "0001.png")
+    Image.fromarray(lr).save(
+        root / "DIV2K_train_LR_bicubic" / "X2" / "0001x2.png")
+
+    div2k.main(["--data-root", str(root), "--scales", "2",
+                "--crop-size", "12", "--step", "8", "--make-lmdb"])
+
+    hr_sub = sorted(os.listdir(root / "DIV2K_train_HR_sub"))
+    lr_sub = sorted(os.listdir(root / "DIV2K_train_LR_bicubic" / "X2_sub"))
+    # identical grid: HR 20x28 @12/8 and LR 10x14 @6/4 -> 2x3 windows each,
+    # so every HR sub-image has its aligned LR partner (x2 name-stripped)
+    assert len(hr_sub) == len(lr_sub) == 6
+    assert hr_sub[0] == lr_sub[0] == "0001_s001.png"
+
+    ds = SRLmdbDataset(str(root / "DIV2K_train_HR_sub.lmdb"))
+    assert "0001_s001" in ds.keys() and len(ds.keys()) == 6
+    got = ds.load("0001_s001")
+    np.testing.assert_array_equal(got, hr[:12, :12])

@@ -27,7 +27,11 @@ import numpy as np
 
 
 def make_lmdb(data_path: str, lmdb_path: str, compress_level: int = 1,
-              expect_shape: tuple | None = None):
+              expect_shape: tuple | None = None,
+              key_style: str = "seq_frame"):
+    """``key_style``: 'seq_frame' = '<sequence>_<frame>' (REDS video trees);
+    'flat' = image name without extension (DIV2K/DF2K sub-image folders,
+    reference preprocess_div2k_dataset.py ``prepare_keys_div2k``)."""
     from PIL import Image
 
     from fcvsr_tpu.data.lmdb_writer import LmdbWriter
@@ -49,7 +53,7 @@ def make_lmdb(data_path: str, lmdb_path: str, compress_level: int = 1,
     for path in img_paths:
         folder = os.path.basename(os.path.dirname(path))
         name = os.path.splitext(os.path.basename(path))[0]
-        key = f"{folder}_{name}"
+        key = name if key_style == "flat" else f"{folder}_{name}"
         img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
         h, w, c = img.shape
         if expect_shape is not None and (h, w) != tuple(expect_shape):
