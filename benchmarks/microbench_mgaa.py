@@ -166,6 +166,22 @@ def main():
          .astype(jnp.float32)), x3)
     packed = arr(1, h, wf, 2 * ac * 2 * 2)
     bench["irfft48"] = lambda: ((lambda v: irfft_features(v, h, w)), packed)
+
+    # the gated-spectra reorder: 24 two-lane slices from 12 (B,H,Wf,4)
+    # tensors -> (B,H,Wf,48) [reals..., imags...] + the irfft.  Δ vs
+    # irfft48 = the pack's relayout cost (VERDICT r3 #3 glue suspect).
+    def setup_pack():
+        gs = arr(12, 1, h, wf, 4)
+
+        def fn(g):
+            gated = [g[i] for i in range(12)]
+            pk = jnp.concatenate([t[..., :2] for t in gated]
+                                 + [t[..., 2:] for t in gated], -1)
+            return irfft_features(pk, h, w)
+
+        return fn, gs
+
+    bench["pack_irfft"] = setup_pack
     fa, fb = arr(1, h, wf, 2 * d), arr(1, h, wf, 2 * d)
     bench["corr"] = lambda: ((lambda v: corr_lookup(v, fb, 4)), fa)
 

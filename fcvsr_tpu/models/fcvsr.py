@@ -81,14 +81,16 @@ class MGAA(nn.Module):
 
         # One batched FFT over all 3 groups (rfft2 is per-channel, so slicing
         # the packed output is identical to three per-group FFTs — and one
-        # big FFT schedules better on TPU).
-        xf = rfft_features(x, compute_dtype=hd)
-        # (B, H, Wf, 6d): [imag(3d), real(3d)]
+        # big FFT schedules better on TPU).  groups=3 emits the channels
+        # group-interleaved ([imag_g, real_g] per temporal group) so each
+        # group below is ONE contiguous zero-copy slice — the classic
+        # layout's per-group imag+real re-concat was 3 materialized
+        # (B, H, Wf, 2d) copies (~100 MB of relayout traffic per MGAA call).
+        xf = rfft_features(x, compute_dtype=hd, groups=3)
+        # (B, H, Wf, 6d): [imag_g0(d), real_g0(d), imag_g1(d), ...]
 
         def group(i):
-            return jnp.concatenate(
-                [xf[..., i * d : (i + 1) * d],
-                 xf[..., (3 + i) * d : (4 + i) * d]], -1)
+            return xf[..., 2 * d * i : 2 * d * (i + 1)]
 
         x1_f, x2_f, x3_f = group(0), group(1), group(2)
 

@@ -144,7 +144,8 @@ def _dft_irfft2(re: jnp.ndarray, im: jnp.ndarray, h: int, w: int,
             - ein("btkc,nk->btnc", zi, jnp.asarray(a_s)))
 
 
-def rfft_features(x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def rfft_features(x: jnp.ndarray, compute_dtype=None,
+                  groups: int = 1) -> jnp.ndarray:
     """(B, H, W, C) real -> (B, H, Wf, 2C) with channels [imag..., real...].
 
     The optimization barriers keep XLA from fusing the FFT with its
@@ -156,14 +157,34 @@ def rfft_features(x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     ``compute_dtype``: if set (DFT path only), the transform runs single-pass
     in that dtype with f32 accumulation and the packed output is stored in it
     — the ``head_dtype='bf16'`` deployment option (bounded deviation).
+
+    ``groups=g``: emit channels group-interleaved —
+    ``[imag(C/g), real(C/g)] * g`` — so a consumer treating the input as g
+    stacked feature groups (MGAA's three temporal groups) reads each packed
+    group as ONE contiguous slice instead of re-concatenating an imag slice
+    with a real slice.  Same values per channel, same single concat to
+    build; only the channel order differs (g=1 is the classic layout).
     """
     dt = compute_dtype if compute_dtype is not None else x.dtype
+    c = x.shape[-1]
+    assert c % groups == 0
+    g = c // groups
+
+    def pack(im, re):
+        if groups == 1:
+            return jnp.concatenate([im, re], axis=-1)
+        parts = []
+        for i in range(groups):
+            parts += [im[..., i * g : (i + 1) * g],
+                      re[..., i * g : (i + 1) * g]]
+        return jnp.concatenate(parts, axis=-1)
+
     if _use_dft():
         re, im = _dft_rfft2(x.astype(jnp.float32), compute_dtype)
-        return jnp.concatenate([im, re], axis=-1).astype(dt)
+        return pack(im, re).astype(dt)
     x = jax.lax.optimization_barrier(x.astype(jnp.float32))
     f = jnp.fft.rfft2(x, axes=(1, 2), norm="backward")
-    out = jnp.concatenate([f.imag, f.real], axis=-1)
+    out = pack(f.imag, f.real)
     return jax.lax.optimization_barrier(out).astype(dt)
 
 

@@ -63,3 +63,20 @@ def test_band_masks_partition_of_unity_center():
     shifted, centered = gaussian_band_masks(8, 64, 64)
     total = np.asarray(centered).sum(0)
     assert total[32, 32] > 0.99  # DC bin fully covered
+
+
+def test_rfft_features_grouped_layout():
+    """groups=3 is a pure channel reorder: each group slice equals the
+    classic [imag_i, real_i] re-concat of the g=1 layout (MGAA's zero-copy
+    group() contract)."""
+    rng = np.random.default_rng(5)
+    d = 3
+    x = rng.standard_normal((2, 8, 10, 3 * d)).astype(np.float32)
+    flat = np.asarray(rfft_features(jnp.asarray(x)))
+    grouped = np.asarray(rfft_features(jnp.asarray(x), groups=3))
+    for i in range(3):
+        classic = np.concatenate(
+            [flat[..., i * d : (i + 1) * d],
+             flat[..., (3 + i) * d : (4 + i) * d]], -1)
+        np.testing.assert_array_equal(
+            grouped[..., 2 * d * i : 2 * d * (i + 1)], classic)
