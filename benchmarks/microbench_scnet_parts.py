@@ -20,6 +20,10 @@ deltas are in-chain marginal costs, not isolated-op guesses:
                   in-chain ms/call; compare vs the 9.6 GFLOP matmul time
                   (~0.05 ms at stream rate) => per-call overhead
   callchain_l3  — same at the L3 shape (68x120): overhead-dominated limit
+  full_th32 / callchain_th32 — tile_rows=32 with ROW_OFF patched to 32
+                  (the th=16 halo overhead is (th+4)/th = 1.25x window
+                  reads for the pair kernel; th=32 trades it for 2 extra
+                  pad tiles of compute — measured, not guessed)
 
 One op per process (CLAUDE.md tunnel rules).  Usage:
   python benchmarks/microbench_scnet_parts.py <op> [--cpu] [--groups 10]
@@ -69,6 +73,24 @@ def main():
     def arr(*shape):
         return jnp.asarray(rng.uniform(-0.5, 0.5, shape), jnp.float32)
 
+    import fcvsr_tpu.ops.pallas_conv as pc
+
+    fuse, tile_rows = "pair", 16
+    for _ in range(2):  # suffixes compose in either order
+        if args.op.endswith("_quad"):
+            # both conv pairs of each BlockRCB body as ONE kernel
+            # (conv3x3_quad_rows — bit-exact vs the pair chain)
+            fuse = "quad"
+            args.op = args.op[: -len("_quad")]
+        if args.op.endswith("_th32"):
+            # ROW_OFF=32 keeps the first tile fully inside the zero ring
+            # (the DMA base clamp's correctness argument); both modules
+            # bind the constant at import, so patch both.
+            pc.ROW_OFF = 32
+            sr.ROW_OFF = 32
+            tile_rows = 32
+            args.op = args.op[: -len("_th32")]
+
     # ---- ablation patches ----
     orig_ctx = sr._context_block
     orig_block = sr._block_rcb
@@ -116,8 +138,9 @@ def main():
 
         def fn(ys):
             out = sr.scnet_rows_apply(params, ys, args.groups,
+                                      tile_rows=tile_rows,
                                       interpret=interp,
-                                      chain_dtype=jnp.bfloat16)
+                                      chain_dtype=jnp.bfloat16, fuse=fuse)
             return sum(jnp.mean(o) for o in out)
 
         @functools.partial(jax.jit, static_argnums=(1,))
@@ -130,7 +153,7 @@ def main():
     elif name.startswith("callchain"):
         if name.endswith("_l3"):
             h, w = h // 4, w // 4
-        x = pad_to_rows(arr(1, h, w, nf)).astype(jnp.bfloat16)
+        x = pc.pad_to_rows(arr(1, h, w, nf), tile_rows).astype(jnp.bfloat16)
         wmat = prep_weight(arr(3, 3, nf, nf) * 0.05)
         ncalls = args.calls
 
@@ -139,7 +162,8 @@ def main():
         def fn(v):
             y = v
             for _ in range(ncalls):
-                y = conv3x3_rows(y, wmat, h=h, w=w, interpret=interp)
+                y = conv3x3_rows(y, wmat, h=h, w=w, tile_rows=tile_rows,
+                                 interpret=interp)
             return jnp.mean(y.astype(jnp.float32))
 
         @functools.partial(jax.jit, static_argnums=(1,))

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas_conv import (COL_OFF, ROW_OFF, conv3x3_pair_rows,
-                               conv3x3_rows, pad_to_rows, prep_weight,
-                               rows_geometry, rows_to_nhwc)
+                               conv3x3_quad_rows, conv3x3_rows, pad_to_rows,
+                               prep_weight, rows_geometry, rows_to_nhwc)
 from ..ops.resize import _linear_weight_matrix
 
 __all__ = ["scnet_rows_apply", "scnet_rows_diff"]
@@ -136,11 +136,28 @@ def _rcb(rp, x, h, w, tile_rows, interpret, mode):
     return x + res
 
 
-def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode):
-    """BlockRCB (CVSR_freq.py:729-777) over the [L1, L2, L3] pyramid."""
+def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode,
+               fuse: str = "pair"):
+    """BlockRCB (CVSR_freq.py:729-777) over the [L1, L2, L3] pyramid.
+
+    ``fuse='quad'``: both conv pairs of the body run as ONE kernel
+    (conv3x3_quad_rows) — y never round-trips HBM; bit-matches the pair
+    path (same storage rounding at every handoff)."""
 
     def body(x, hw):
         h, w = hw
+        if fuse == "quad":
+            rp = bp["rcb"]
+            y, res = conv3x3_quad_rows(
+                x, prep_weight(_k(bp["body0"])), _b(bp["body0"]),
+                prep_weight(_k(bp["body1"])), _b(bp["body1"]),
+                prep_weight(_k(rp["body0"])), _b(rp["body0"]),
+                prep_weight(_k(rp["body1"])), _b(rp["body1"]),
+                h=h, w=w, ns1=0.1, ns3=0.2, tile_rows=tile_rows,
+                interpret=interpret)
+            res = _context_block(rp["gcnet"], res, h, w, tile_rows)
+            res = jnp.where(res >= 0, res, 0.2 * res)
+            return y + res
         y = conv3x3_pair_rows(x, prep_weight(_k(bp["body0"])),
                               _b(bp["body0"]), prep_weight(_k(bp["body1"])),
                               _b(bp["body1"]), h=h, w=w, ns1=0.1,
@@ -162,7 +179,8 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode):
 
 def scnet_rows_apply(params, x_list, num_groups: int = 10,
                      tile_rows: int = 16, interpret: bool = False,
-                     chain_dtype=jnp.float32, mode: str = "cat3"):
+                     chain_dtype=jnp.float32, mode: str = "cat3",
+                     fuse: str = "pair"):
     """Replay SCNet (models/blocks.py::SCNet) on its own param pytree.
 
     params: the SCNet module's params subtree; x_list: NHWC [L1, L2, L3].
@@ -185,7 +203,7 @@ def scnet_rows_apply(params, x_list, num_groups: int = 10,
         gin = list(res)
         for j in range(3):
             res = _block_rcb(gp[f"block{j}"], res, shapes, tile_rows,
-                             interpret, mode)
+                             interpret, mode, fuse)
         wk = prep_weight(_k(gp["conv"]), mode)
         wb = _b(gp["conv"])
         # the group residual rides the conv kernel's fused-res input (one

@@ -353,6 +353,167 @@ def conv3x3_pair_rows(x_rows, w1, b1, w2, b2, *, h: int, w: int,
     )(x_rows, w1, b1v, w2, b2v)
 
 
+def _quad_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 w4_ref, b4_ref, y_ref, out_ref, win, sems, *, th, c, c1, c2,
+                 c3, cout, wp, h, w, ns1, ns3, tiles, nb):
+    """Four chained 3x3 convs per tile (a whole BlockRCB conv body).
+
+    y   = conv2(lrelu_ns1(conv1(window) + b1)) + b2     (the block pair)
+    out = conv4(lrelu_ns3(conv3(y) + b3)) + b4          (the RCB pair)
+
+    Both y and out are emitted (the caller's RCB residual needs y).  The
+    window covers th+8 input rows; intermediates shrink by one halo row
+    per conv (th+6 / th+4 / th+2 rows — halo recompute per tile instead
+    of an HBM round-trip of y between the two pair kernels).  Every
+    intermediate is ring-masked and stored bf16, bit-matching the
+    two-pair chain (the unfused y is written/re-read as the bf16 chain
+    dtype; recomputed halo rows run the identical dot_generals)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ti = pl.program_id(1)
+    bi = pl.program_id(0)
+    g = bi * tiles + ti
+    hp = tiles * th
+
+    def dma(step, slot):
+        sb = step // tiles
+        st = step - sb * tiles
+        # input rows [t0-4, t0+th+4); the clamp can only shift tiles whose
+        # outputs are fully row-masked (rows_geometry: the data region is
+        # preceded by ROW_OFF >= tile_rows ring rows and followed by at
+        # least one full ring tile)
+        base = jnp.clip(st * th - 4, 0, hp - (th + 8))
+        return pltpu.make_async_copy(
+            src_hbm.at[sb, pl.ds(base, th + 8)], win.at[slot],
+            sems.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < nb * tiles)
+    def _():
+        dma(g + 1, (g + 1) % 2).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    colmask = ((lane >= COL_OFF) &
+               (lane < COL_OFF + w)).astype(jnp.float32)
+    t0 = ti * th
+    dma(g, g % 2).wait()
+
+    def stage(cat, wmat, bref, rows, base_off, slope, out_cast):
+        """One conv over ``rows`` output rows whose first row sits at
+        global row t0+base_off; mask + optional lrelu.
+
+        ``out_cast``: the storage dtype of this intermediate.  Intra-pair
+        mids are bf16 (the pair kernel's storage rounding); the y handoff
+        uses the chain dtype (what the unfused chain writes to HBM); the
+        final stage stays f32 until the output write."""
+        wm = wmat[...].astype(jnp.bfloat16)
+        outs = []
+        for r in range(rows):
+            o = None
+            for dy in range(3):
+                d = jax.lax.dot_general(
+                    wm[dy], cat[r + dy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o = d if o is None else o + d
+            o = o + bref[...]
+            if slope is not None:
+                o = jnp.where(o >= 0, o, slope * o)
+            gr = t0 + base_off + r
+            rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
+            outs.append(jnp.where(rowvalid, o * colmask, 0.0)
+                        .astype(out_cast))
+        return jnp.stack(outs)
+
+    chain_dt = y_ref.dtype
+    cat0 = jnp.concatenate(_rolled3(win[g % 2]), axis=1)   # (th+8, 3c, wp)
+    m1 = stage(cat0, w1_ref, b1_ref, th + 6, -3, ns1, jnp.bfloat16)
+    cat1 = jnp.concatenate(_rolled3(m1), axis=1)
+    m2 = stage(cat1, w2_ref, b2_ref, th + 4, -2, None, chain_dt)
+    for r in range(th):
+        y_ref[0, r] = m2[r + 2]
+    cat2 = jnp.concatenate(_rolled3(m2), axis=1)
+    m3 = stage(cat2, w3_ref, b3_ref, th + 2, -1, ns3, jnp.bfloat16)
+    cat3 = jnp.concatenate(_rolled3(m3), axis=1)
+    m4 = stage(cat3, w4_ref, b4_ref, th, 0, None, jnp.float32)
+    for r in range(th):
+        out_ref[0, r] = m4[r].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ns1", "ns3",
+                                             "tile_rows", "out_dtype",
+                                             "interpret"))
+def conv3x3_quad_rows(x_rows, w1, b1, w2, b2, w3, b3, w4, b4, *, h: int,
+                      w: int, ns1: float = 0.1, ns3: float = 0.2,
+                      tile_rows: int = 16, out_dtype=None,
+                      interpret: bool = False):
+    """(y, out) = the two chained conv pairs of a BlockRCB body, one kernel.
+
+    y   = conv2(lrelu_ns1(conv1(x)))   — the block body0/body1 pair
+    out = conv4(lrelu_ns3(conv3(y)))   — the RCB body0/body1 pair
+
+    Weights in cat3 ``prep_weight`` layout; biases optional.  Semantics ==
+    ``conv3x3_pair_rows(x, w1, b1, w2, b2, ns1)`` followed by
+    ``conv3x3_pair_rows(y, w3, b3, w4, b4, ns3)`` with y stored in the
+    chain dtype between — but y never round-trips HBM (read 1.5x of x
+    instead of 2x full reads + one intermediate write, and one kernel
+    boundary instead of two)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hp, c, wp = x_rows.shape
+    assert (hp, wp) == rows_geometry(h, w, tile_rows), \
+        (hp, wp, rows_geometry(h, w, tile_rows))
+    ws = [w1, w2, w3, w4]
+    cs = [c]
+    for wm in ws:
+        assert wm.ndim == 3 and wm.shape[0] == 3 and \
+            wm.shape[2] == 3 * cs[-1], (wm.shape, cs[-1])
+        cs.append(wm.shape[1])
+    c1, c2, c3, cout = cs[1:]
+    assert wp % 128 == 0 and all(x % 16 == 0 for x in cs)
+    tiles = hp // tile_rows
+
+    def bvec(bias, n):
+        return jnp.zeros((n, 1), jnp.float32) if bias is None \
+            else bias.reshape(n, 1).astype(jnp.float32)
+
+    kern = functools.partial(_quad_kernel, th=tile_rows, c=c, c1=c1, c2=c2,
+                             c3=c3, cout=cout, wp=wp, h=h, w=w, ns1=ns1,
+                             ns3=ns3, tiles=tiles, nb=b)
+    dt = out_dtype or x_rows.dtype
+    wspec = [
+        (pl.BlockSpec((3, cc, 3 * ci), lambda bi, ti: (0, 0, 0)),
+         pl.BlockSpec((cc, 1), lambda bi, ti: (0, 0)))
+        for ci, cc in zip(cs[:-1], cs[1:])
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(b, tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + [s for pair in wspec for s in pair],
+        out_specs=[pl.BlockSpec((1, tile_rows, c2, wp),
+                                lambda bi, ti: (bi, ti, 0, 0)),
+                   pl.BlockSpec((1, tile_rows, cout, wp),
+                                lambda bi, ti: (bi, ti, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, hp, c2, wp), dt),
+                   jax.ShapeDtypeStruct((b, hp, cout, wp), dt)],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_rows + 8, c, wp), x_rows.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_rows, w1, bvec(b1, c1), w2, bvec(b2, c2), w3, bvec(b3, c3),
+      w4, bvec(b4, cout))
+
+
 def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:
     """HWIO (3, 3, Cin, Cout) -> the kernel's weight layout.
 

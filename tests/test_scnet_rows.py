@@ -142,3 +142,53 @@ def test_scnet_rows_bf16_chain():
         r, g = np.asarray(r), np.asarray(g)
         assert g.dtype == np.float32
         assert np.abs(g - r).max() < 8e-2 * np.abs(r).max()
+
+
+def test_quad_kernel_matches_two_pairs():
+    """conv3x3_quad_rows == pair(pair(x)) bit-for-bit in both chain dtypes
+    (the intra-pair mids are bf16 in both paths; the y handoff uses the
+    chain dtype; halo rows are recomputed with identical dot_generals)."""
+    from fcvsr_tpu.ops.pallas_conv import (conv3x3_pair_rows,
+                                           conv3x3_quad_rows, pad_to_rows,
+                                           prep_weight)
+
+    nf, h, w = 16, 20, 24
+    ws = [prep_weight(jnp.asarray(
+        RNG.standard_normal((3, 3, nf, nf)) * 0.2, jnp.float32))
+        for _ in range(4)]
+    b1 = jnp.asarray(RNG.standard_normal(nf) * 0.1, jnp.float32)
+    b2 = jnp.asarray(RNG.standard_normal(nf) * 0.1, jnp.float32)
+    x0 = jnp.asarray(RNG.standard_normal((2, h, w, nf)), jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = pad_to_rows(x0, 8).astype(dt)
+        y_ref = conv3x3_pair_rows(x, ws[0], b1, ws[1], b2, h=h, w=w,
+                                  ns1=0.1, tile_rows=8, interpret=True)
+        out_ref = conv3x3_pair_rows(y_ref, ws[2], None, ws[3], None, h=h,
+                                    w=w, ns1=0.2, tile_rows=8,
+                                    interpret=True)
+        y, out = conv3x3_quad_rows(x, ws[0], b1, ws[1], b2, ws[2], None,
+                                   ws[3], None, h=h, w=w, ns1=0.1, ns3=0.2,
+                                   tile_rows=8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                      np.asarray(y_ref, np.float32))
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(out_ref, np.float32))
+
+
+def test_scnet_rows_quad_fuse_matches_pair():
+    """fuse='quad' replays the pair chain bit-for-bit end-to-end and stays
+    within the NHWC golden tolerance."""
+    nf, groups = 16, 2
+    xs = _pyramid(1, 16, 24, nf)
+    mod, params = _init(nf, groups, xs)
+    ref = mod.apply({"params": params}, xs)
+    pair = scnet_rows_apply(params, xs, num_groups=groups, tile_rows=8,
+                            interpret=True, chain_dtype=jnp.bfloat16)
+    quad = scnet_rows_apply(params, xs, num_groups=groups, tile_rows=8,
+                            interpret=True, chain_dtype=jnp.bfloat16,
+                            fuse="quad")
+    for p, q, r in zip(pair, quad, ref):
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(p))
+        r = np.asarray(r)
+        scale = np.abs(r).max()
+        assert np.abs(np.asarray(q) - r).max() < 5e-2 * scale
