@@ -75,8 +75,12 @@ def main():
 
     import fcvsr_tpu.ops.pallas_conv as pc
 
-    fuse, tile_rows = "pair", 16
-    for _ in range(2):  # suffixes compose in either order
+    fuse, tile_rows, downproj = "pair", 16, "conv_first"
+    for _ in range(3):  # suffixes compose in any order
+        if args.op.endswith("_rf"):
+            # down projections resize before the 1x1 (bounded deviation)
+            downproj = "resize_first"
+            args.op = args.op[: -len("_rf")]
         if args.op.endswith("_quad"):
             # both conv pairs of each BlockRCB body as ONE kernel
             # (conv3x3_quad_rows — bit-exact vs the pair chain)
@@ -140,7 +144,8 @@ def main():
             out = sr.scnet_rows_apply(params, ys, args.groups,
                                       tile_rows=tile_rows,
                                       interpret=interp,
-                                      chain_dtype=jnp.bfloat16, fuse=fuse)
+                                      chain_dtype=jnp.bfloat16, fuse=fuse,
+                                      downproj=downproj)
             return sum(jnp.mean(o) for o in out)
 
         @functools.partial(jax.jit, static_argnums=(1,))

@@ -137,7 +137,7 @@ def _rcb(rp, x, h, w, tile_rows, interpret, mode):
 
 
 def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode,
-               fuse: str = "pair"):
+               fuse: str = "pair", downproj: str = "conv_first"):
     """BlockRCB (CVSR_freq.py:729-777) over the [L1, L2, L3] pyramid.
 
     ``fuse='quad'``: both conv pairs of the body run as ONE kernel
@@ -167,10 +167,30 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode,
     res = [body(x, s) for x, s in zip(x_list, shapes)]
     down = [res[0]]
     for r, (h, w), (h2, w2) in zip(res[:-1], shapes[:-1], shapes[1:]):
-        d = _conv1x1(r, _k(bp["down"]), _b(bp["down"]))
-        down.append(_resize_rows(d, h, w, h2, w2, tile_rows, 2.0))
+        if downproj == "resize_first":
+            # 1x1 (C axis) and bilinear resize (H/W axes) are linear maps
+            # on disjoint axes — they commute exactly; resizing first runs
+            # the channel mix on the quarter-size map (~22% less HBM
+            # traffic on the down path).  fp accumulation order differs
+            # (bounded deviation), so 'conv_first' stays the parity
+            # default.  The bias now lands AFTER the ring-re-masking
+            # resize, so it must be masked here (the conv_first order got
+            # that for free from the resize that followed it).
+            d = _resize_rows(r, h, w, h2, w2, tile_rows, 2.0)
+            d = _conv1x1(d, _k(bp["down"]))
+            bias = _b(bp["down"])
+            if bias is not None:
+                vm = _valid_mask(h2, w2, tile_rows)
+                d = (d.astype(jnp.float32)
+                     + bias[None, None, :, None] * vm[None, :, None, :]
+                     ).astype(d.dtype)
+        else:
+            d = _conv1x1(r, _k(bp["down"]), _b(bp["down"]))
+            d = _resize_rows(d, h, w, h2, w2, tile_rows, 2.0)
+        down.append(d)
     up = []
     for r, (h, w), (h2, w2) in zip(res[1:], shapes[1:], shapes[:-1]):
+        # up keeps conv-first: the 1x1 already runs on the SMALLER map
         u = _conv1x1(r, _k(bp["up"]), _b(bp["up"]))
         up.append(_resize_rows(u, h, w, h2, w2, tile_rows, 0.5))
     up.append(res[-1])
@@ -180,7 +200,7 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode,
 def scnet_rows_apply(params, x_list, num_groups: int = 10,
                      tile_rows: int = 16, interpret: bool = False,
                      chain_dtype=jnp.float32, mode: str = "cat3",
-                     fuse: str = "pair"):
+                     fuse: str = "pair", downproj: str = "conv_first"):
     """Replay SCNet (models/blocks.py::SCNet) on its own param pytree.
 
     params: the SCNet module's params subtree; x_list: NHWC [L1, L2, L3].
@@ -203,7 +223,7 @@ def scnet_rows_apply(params, x_list, num_groups: int = 10,
         gin = list(res)
         for j in range(3):
             res = _block_rcb(gp[f"block{j}"], res, shapes, tile_rows,
-                             interpret, mode, fuse)
+                             interpret, mode, fuse, downproj)
         wk = prep_weight(_k(gp["conv"]), mode)
         wb = _b(gp["conv"])
         # the group residual rides the conv kernel's fused-res input (one

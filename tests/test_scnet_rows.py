@@ -192,3 +192,23 @@ def test_scnet_rows_quad_fuse_matches_pair():
         r = np.asarray(r)
         scale = np.abs(r).max()
         assert np.abs(np.asarray(q) - r).max() < 5e-2 * scale
+
+
+def test_scnet_rows_downproj_resize_first():
+    """downproj='resize_first' commutes the down 1x1 with the bilinear
+    resize (linear maps on disjoint axes) — equal to conv_first up to fp
+    accumulation order, and within the NHWC golden tolerance."""
+    nf, groups = 16, 2
+    xs = _pyramid(1, 16, 24, nf)
+    mod, params = _init(nf, groups, xs)
+    ref = mod.apply({"params": params}, xs)
+    a = scnet_rows_apply(params, xs, num_groups=groups, tile_rows=8,
+                         interpret=True)
+    b = scnet_rows_apply(params, xs, num_groups=groups, tile_rows=8,
+                         interpret=True, downproj="resize_first")
+    for pa, pb, r in zip(a, b, ref):
+        pa, pb, r = np.asarray(pa), np.asarray(pb), np.asarray(r)
+        scale = np.abs(r).max()
+        assert np.abs(pb - pa).max() < 2e-4 * scale, \
+            np.abs(pb - pa).max() / scale
+        assert np.abs(pb - r).max() < 5e-2 * scale
