@@ -80,3 +80,54 @@ def test_rfft_features_grouped_layout():
              flat[..., (3 + i) * d : (4 + i) * d]], -1)
         np.testing.assert_array_equal(
             grouped[..., 2 * d * i : 2 * d * (i + 1)], classic)
+
+
+def test_ct_factored_h_dft_matches_direct():
+    """The two-stage Cooley-Tukey H-DFT (fast path) matches the direct DFT
+    and numpy fft at f32 tolerance, at composite sizes incl. 272=16*17."""
+    from fcvsr_tpu.ops.freq import _ct_split, _dft_h_ct
+
+    rng = np.random.default_rng(7)
+    for h in (12, 34, 272):
+        assert _ct_split(h) is not None
+        xr = rng.standard_normal((2, h, 3, 2)).astype(np.float32)
+        xi = rng.standard_normal((2, h, 3, 2)).astype(np.float32)
+        yr, yi = _dft_h_ct(jnp.asarray(xr), jnp.asarray(xi), jnp.float32)
+        ref = np.fft.fft(xr + 1j * xi, axis=1)
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr) - ref.real).max() < 2e-4 * scale
+        assert np.abs(np.asarray(yi) - ref.imag).max() < 2e-4 * scale
+
+
+def test_rfft_features_bf16_ct_bounded():
+    """Full fast-path rfft_features (bf16 + CT H-stage) stays within bf16
+    bounded deviation of the exact transform."""
+    from fcvsr_tpu.ops import freq
+
+    old = freq._FFT_IMPL
+    freq.set_fft_impl("dft")
+    try:
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((1, 32, 20, 6)).astype(np.float32)
+        exact = np.asarray(rfft_features(jnp.asarray(x)))
+        fast = np.asarray(rfft_features(jnp.asarray(x),
+                                        compute_dtype=jnp.bfloat16))
+        scale = np.abs(exact).max()
+        assert np.abs(fast.astype(np.float32) - exact).max() < 3e-2 * scale
+    finally:
+        freq.set_fft_impl(old)
+
+
+def test_ct_factored_w_rdft_matches_numpy():
+    from fcvsr_tpu.ops.freq import _ct_split, _dft_w_ct
+
+    rng = np.random.default_rng(9)
+    for w in (12, 30, 480):
+        assert _ct_split(w) is not None
+        x = rng.standard_normal((2, 5, w, 3)).astype(np.float32)
+        wf = w // 2 + 1
+        yr, yi = _dft_w_ct(jnp.asarray(x), wf, jnp.float32)
+        ref = np.fft.rfft(x, axis=2)
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr) - ref.real).max() < 2e-4 * scale
+        assert np.abs(np.asarray(yi) - ref.imag).max() < 2e-4 * scale
