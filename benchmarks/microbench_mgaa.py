@@ -164,6 +164,15 @@ def main():
     bench["rfft192_bf16"] = lambda: (
         (lambda v: rfft_features(v, compute_dtype=jnp.bfloat16)
          .astype(jnp.float32)), x3)
+
+    def setup_rfft_ct():
+        # factored (Cooley-Tukey) fast-path stages — opt-in A/B
+        from fcvsr_tpu.ops.freq import set_dft_ct
+        set_dft_ct(True)
+        return (lambda v: rfft_features(v, compute_dtype=jnp.bfloat16)
+                .astype(jnp.float32)), x3
+
+    bench["rfft192_bf16_ct"] = setup_rfft_ct
     packed = arr(1, h, wf, 2 * ac * 2 * 2)
     bench["irfft48"] = lambda: ((lambda v: irfft_features(v, h, w)), packed)
 

@@ -42,12 +42,24 @@ __all__ = [
 # terminal's UNIMPLEMENTED on fft-adjacent fusions, see CLAUDE.md, at a few
 # percent extra FLOPs).  'auto' picks 'dft' on TPU backends.
 _FFT_IMPL = "auto"
+# Cooley-Tukey factored stages on the compute_dtype fast path: 8x fewer
+# H-DFT FLOPs at H=272, but 4 small-K einsums + twiddle passes instead of
+# one big contraction — whether that wins is runtime-dependent, so it is
+# opt-in until the TPU A/B proves it (first measurement: the bf16 head got
+# SLOWER, 9.67 vs 7.02 ms — FLOPs were not the binding constraint).
+_DFT_CT = False
 
 
 def set_fft_impl(impl: str) -> None:
     global _FFT_IMPL
     assert impl in ("fft", "dft", "auto")
     _FFT_IMPL = impl
+
+
+def set_dft_ct(enabled: bool) -> None:
+    """Enable/disable the factored (Cooley-Tukey) fast-path DFT stages."""
+    global _DFT_CT
+    _DFT_CT = bool(enabled)
 
 
 def _use_dft() -> bool:
@@ -194,7 +206,7 @@ def _dft_rfft2(x: jnp.ndarray, compute_dtype=None):
     # rDFT along W: X[k] = sum_n x[n] (cos - i sin)(2πkn/W), keep k < Wf.
     # Fast path: two-stage Cooley-Tukey when W factors (~3.5x fewer FLOPs
     # at W=480) — bounded-deviation deployment option.
-    if fast and _ct_split(w) is not None:
+    if fast and _DFT_CT and _ct_split(w) is not None:
         xr, xi = _dft_w_ct(x, wf, compute_dtype)
     else:
         cw = jnp.asarray(cw[:wf])  # (Wf, W)
@@ -205,7 +217,7 @@ def _dft_rfft2(x: jnp.ndarray, compute_dtype=None):
     # matmuls when H factors (8x fewer FLOPs at H=272) — bounded-deviation
     # deployment option like the rest of the compute_dtype path; the
     # parity path keeps the direct HIGHEST-precision contraction.
-    if fast and _ct_split(h) is not None:
+    if fast and _DFT_CT and _ct_split(h) is not None:
         return _dft_h_ct(xr, xi, compute_dtype)
     ch, sh = _dft_mats(h)
     ch = jnp.asarray(ch)

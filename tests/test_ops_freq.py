@@ -1,5 +1,6 @@
 """Golden tests: FFT packing + frequency band split vs torch.fft."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -110,12 +111,17 @@ def test_rfft_features_bf16_ct_bounded():
         rng = np.random.default_rng(8)
         x = rng.standard_normal((1, 32, 20, 6)).astype(np.float32)
         exact = np.asarray(rfft_features(jnp.asarray(x)))
-        fast = np.asarray(rfft_features(jnp.asarray(x),
-                                        compute_dtype=jnp.bfloat16))
         scale = np.abs(exact).max()
-        assert np.abs(fast.astype(np.float32) - exact).max() < 3e-2 * scale
+        for ct in (False, True):
+            freq.set_dft_ct(ct)
+            jax.clear_caches()
+            fast = np.asarray(rfft_features(jnp.asarray(x),
+                                            compute_dtype=jnp.bfloat16))
+            assert np.abs(fast.astype(np.float32) - exact).max() \
+                < 3e-2 * scale, ct
     finally:
         freq.set_fft_impl(old)
+        freq.set_dft_ct(False)
 
 
 def test_ct_factored_w_rdft_matches_numpy():
