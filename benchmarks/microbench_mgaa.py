@@ -191,6 +191,27 @@ def main():
         return fn, gs
 
     bench["pack_irfft"] = setup_pack
+
+    def setup_pack_perm():
+        # same math, but the halves reorder rides a one-hot 48x48 matmul
+        # (exact: one-hot picks with f32 accumulate) on the NATURAL
+        # 12-tensor concat — no 24-slice relayout
+        gs = arr(12, 1, h, wf, 4)
+        perm = np.zeros((48, 48), np.float32)
+        for j in range(12):
+            for t in range(2):
+                perm[4 * j + t, 2 * j + t] = 1.0          # re -> first half
+                perm[4 * j + 2 + t, 24 + 2 * j + t] = 1.0  # im -> second
+        pmat = jnp.asarray(perm)
+
+        def fn(g):
+            nat = jnp.concatenate([g[i] for i in range(12)], -1)
+            pk = jnp.einsum("bhkc,cd->bhkd", nat, pmat)
+            return irfft_features(pk, h, w)
+
+        return fn, gs
+
+    bench["pack_irfft_perm"] = setup_pack_perm
     fa, fb = arr(1, h, wf, 2 * d), arr(1, h, wf, 2 * d)
     bench["corr"] = lambda: ((lambda v: corr_lookup(v, fb, 4)), fa)
 
