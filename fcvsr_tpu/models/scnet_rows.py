@@ -176,6 +176,10 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode,
             # default.  The bias now lands AFTER the ring-re-masking
             # resize, so it must be masked here (the conv_first order got
             # that for free from the resize that followed it).
+            # MEASURED CLOSURE (round 4): neutral on TPU — 32.4 vs
+            # 32.2 ms scnet10 (microbench_scnet_parts full_rf); the
+            # cross-level 5.6 ms is relayout/overhead-bound around the
+            # small einsums, not bytes-bound.  Kept as provenance.
             d = _resize_rows(r, h, w, h2, w2, tile_rows, 2.0)
             d = _conv1x1(d, _k(bp["down"]))
             bias = _b(bp["down"])

@@ -462,7 +462,16 @@ def conv3x3_quad_rows(x_rows, w1, b1, w2, b2, w3, b3, w4, b4, *, h: int,
     ``conv3x3_pair_rows(y, w3, b3, w4, b4, ns3)`` with y stored in the
     chain dtype between — but y never round-trips HBM (read 1.5x of x
     instead of 2x full reads + one intermediate write, and one kernel
-    boundary instead of two)."""
+    boundary instead of two).
+
+    MEASURED CLOSURE (round 4): LOSES in the real SCNet chain — 35.1 vs
+    32.2 ms scnet10 bf16 @480x272 (benchmarks/microbench_scnet_parts.py
+    full_quad).  The backbone is compute-rate-bound at the kernel's
+    ~103 TFLOP/s, so the +18.75% halo-recompute FLOPs (four stages off a
+    th+8 window at th=16) cost more than the saved round-trip; boundaries
+    were never the cost (~5 us/call).  Kept behind
+    ``scnet_rows_apply(fuse='quad')`` with bit-exact goldens as
+    measurement provenance."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
