@@ -44,9 +44,11 @@ __all__ = [
 _FFT_IMPL = "auto"
 # Cooley-Tukey factored stages on the compute_dtype fast path: 8x fewer
 # H-DFT FLOPs at H=272, but 4 small-K einsums + twiddle passes instead of
-# one big contraction — whether that wins is runtime-dependent, so it is
-# opt-in until the TPU A/B proves it (first measurement: the bf16 head got
-# SLOWER, 9.67 vs 7.02 ms — FLOPs were not the binding constraint).
+# one big contraction.  MEASURED CLOSURE (round 4, TPU @272x480x192):
+# rfft192_bf16 0.757 ms direct vs 4.016 ms CT — a 5.3x LOSS; the
+# small-K (16/17) contractions and twiddle broadcasts are relayout-
+# dominated, and the direct bf16 DFT was already near roofline.  Stays
+# opt-in (off) as measurement provenance with goldens at 5 sizes.
 _DFT_CT = False
 
 
