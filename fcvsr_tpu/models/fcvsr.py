@@ -26,17 +26,32 @@ all-zero.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.corr import corr_lookup
 from ..ops.freq import irfft_features, rfft_features, split_freq
 from ..ops.resize import resize_bilinear
 from ..ops.sac import iac
 from .blocks import CALayer, Conv2d, ConvBlk, DivEnh, PReLU, SCNet, pixel_shuffle
+
+
+@functools.lru_cache(maxsize=None)
+def _halves_perm(n_gated: int) -> np.ndarray:
+    """(4n, 4n) one-hot matrix moving each gated block's [re2, im2] to the
+    irfft halves layout [all re pairs..., all im pairs...].  Numpy, NOT
+    jnp (cached jnp constants leak tracers — CLAUDE.md)."""
+    p = np.zeros((4 * n_gated, 4 * n_gated), np.float32)
+    for j in range(n_gated):
+        for t in range(2):
+            p[4 * j + t, 2 * j + t] = 1.0
+            p[4 * j + 2 + t, 2 * n_gated + 2 * j + t] = 1.0
+    return p
 
 
 class MGAA(nn.Module):
@@ -154,9 +169,15 @@ class MGAA(nn.Module):
                 blk = ConvBlk(4, index=i, dtype=hd, name=f"mconv{i}")
                 gated.append(blk(off_f) * x2_f_sim)
                 gated.append(blk(off_b) * x2_f_sim)
-        packed = jnp.concatenate(
-            [g[..., :2] for g in gated] + [g[..., 2:] for g in gated], -1)
-        # warp offsets stay f32 (HIGHEST-precision irfft; tiny — 0.31 ms)
+        # halves reorder for irfft ([re2|im2]*2ac -> [re...][im...]) rides
+        # a one-hot matmul on the natural concat: bit-exact (one-hot picks
+        # are exact in any dtype) and ~free on the MXU, vs 0.23 ms for the
+        # 4ac-slice relayout (pack_irfft vs pack_irfft_perm,
+        # benchmarks/microbench_mgaa.py, round 4)
+        nat = jnp.concatenate(gated, -1)
+        packed = jnp.einsum("bhkc,cd->bhkd", nat,
+                            jnp.asarray(_halves_perm(len(gated))))
+        # warp offsets stay f32 (HIGHEST-precision irfft; tiny — 0.23 ms)
         fields = irfft_features(packed.astype(jnp.float32), h, w)
         # (B, H, W, 2*ac_num*2)
         offsets_f = jnp.stack(
