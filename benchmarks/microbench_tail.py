@@ -276,6 +276,74 @@ def main():
     bench["tail_folded_bf16"] = functools.partial(setup_tail_folded,
                                                   jnp.bfloat16)
 
+    def setup_tail_folded_rows():
+        # the same folded cascade, but the three 3x3 convs run through the
+        # rows-layout Pallas kernel (ops/pallas_conv.py) with bf16 chain
+        # storage and the PReLU applied ring-safe between calls (alpha*0=0)
+        # — XLA ran the dense folded convs at ~75 TFLOP/s (9.27 ms tail);
+        # the rows kernel sustains ~103 in-chain.
+        from fcvsr_tpu.ops.pallas_conv import (conv3x3_rows, pad_to_rows,
+                                               prep_weight, rows_to_nhwc)
+        from fcvsr_tpu.ops.psfold import fold_ps_bias, fold_ps_conv
+
+        l1 = arr(1, h, w, nf)
+        l2 = arr(1, h // 2, w // 2, nf)
+        l3 = arr(1, h // 4, w // 4, nf)
+        interp = jax.default_backend() == "cpu"
+
+        class TailFoldedRows(nn.Module):
+            @nn.compact
+            def __call__(self, l1, l2, l3):
+                lrelu = PReLU(name="lrelu")
+                out_l3 = lrelu(Conv2d(nf, 3, name="upconv1_L3")(l3))
+                out_l3_1 = pixel_shuffle(out_l3)
+                out_l3_2 = pixel_shuffle(out_l3_1)
+                out_l2 = lrelu(Conv2d(nf, 3, name="upconv1_L2")(l2))
+                out_l2 = pixel_shuffle(
+                    out_l2 + Conv2d(nf, 3, name="upconv1_L2_2")(
+                        jnp.concatenate([out_l2, out_l3_1], -1)))
+                fuse = jnp.concatenate([l1, out_l2, out_l3_2], -1)
+                fuse = Conv2d(nf, 3, name="recorb0")(
+                    Conv2d(nf, 3, name="upconv_fuse")(fuse))
+                w1 = self.param("w1", nn.initializers.normal(0.02),
+                                (3, 3, nf, 4 * nf))
+                b1 = self.param("b1", nn.initializers.zeros, (4 * nf,))
+                w2 = self.param("w2", nn.initializers.normal(0.02),
+                                (3, 3, nf, 4 * nf))
+                b2 = self.param("b2", nn.initializers.zeros, (4 * nf,))
+                wl = self.param("wl", nn.initializers.normal(0.02),
+                                (3, 3, nf, c))
+                bl = self.param("bl", nn.initializers.zeros, (c,))
+                alpha = lrelu.variables["params"]["alpha"]
+
+                def prelu_rows(y):
+                    a = alpha.astype(y.dtype).reshape(())
+                    return jnp.where(y >= 0, y, a * y)
+
+                xr = pad_to_rows(fuse, 8).astype(jnp.bfloat16)
+                y = conv3x3_rows(xr, prep_weight(w1), b1, h=h, w=w,
+                                 tile_rows=8, interpret=interp)
+                y = prelu_rows(y)
+                y = conv3x3_rows(y, prep_weight(fold_ps_conv(w2, 2)),
+                                 fold_ps_bias(b2, 2), h=h, w=w,
+                                 tile_rows=8, interpret=interp)
+                y = prelu_rows(y)
+                wl2 = fold_ps_conv(fold_ps_conv(wl, 2), 2)
+                y16 = conv3x3_rows(y, prep_weight(wl2),
+                                   fold_ps_bias(fold_ps_bias(bl, 2), 2),
+                                   h=h, w=w, tile_rows=8,
+                                   out_dtype=jnp.float32,
+                                   interpret=interp)
+                y16 = rows_to_nhwc(y16, h, w)
+                return pixel_shuffle(pixel_shuffle(y16))
+
+        mod = TailFoldedRows()
+        p = mod.init(jax.random.PRNGKey(0), l1, l2, l3)
+        return (lambda v, a, b: mod.apply(p, v, a, b).astype(jnp.float32)), \
+            l1, (l2, l3)
+
+    bench["tail_folded_rows"] = setup_tail_folded_rows
+
     # ---- folded-tail components (what is the 9.5 ms made of?) ----
     def _plain_conv(v, kern, bias):
         pad = (kern.shape[0] - 1) // 2
