@@ -22,9 +22,18 @@ Capture contract (VERDICT r3 #1 — results must be un-losable):
 - One rung failing no longer kills the ladder: a quick dot re-probe decides
   whether the tunnel is wedged (stop) or the rung alone is broken (skip).
 
-Ladder order is value-per-minute (VERDICT r3 #1): exact-S first (fastest
-compile, proves the tunnel), then the two deployment headline rungs, then
-train steps, zoo, the 640x400 stress shapes, and the B=2 throughput guard.
+Ladder order (VERDICT r4 #1): the deployment HEADLINE rung runs FIRST.
+Rounds 3 and 4 both saw the driver's own capture time out (rc=124) before
+the headline rung launched, leaving the official record with a single
+exact-S rung and a misleading vs_baseline — the tunnel has been proved by
+the S rung three rounds running, so it no longer earns the first slot.
+The S deployment rung follows (second-most-valuable), then the exact
+parity rungs, train steps, zoo, the 640x400 stress shapes, and the B=2
+throughput guard.  When the headline metric is absent from this run the
+result reports ``vs_baseline: null`` plus ``banked_prior`` (the last
+committed full ladder, BENCH_BANKED.json) rather than pretending parity.
+Output files go to $BENCH_OUT_DIR (or --out; default repo root) so test
+runs cannot clobber a real banked capture (ADVICE r4).
 
 - *_pallas entries are the DEPLOYMENT path: fused Pallas IAC
   (ops/pallas_iac.py), rows-layout Pallas SCNet (models/scnet_rows.py),
@@ -67,9 +76,9 @@ import time
 # train = train-step ms.  Ordered by value-per-minute; timeouts assume a
 # healthy tunnel (compiles 4-6 min) and stretch 2x under congestion.
 ATTEMPTS = [
-    ("fcvsr_s_fps_320x184", "fps", "fcvsr_s", 184, 320, 1, 1500),
     ("fcvsr_full_pallas_fps_480x272", "fps", "fcvsr_pallas", 272, 480, 1, 2400),
     ("fcvsr_s_pallas_fps_320x184", "fps", "fcvsr_s_pallas", 184, 320, 1, 2400),
+    ("fcvsr_s_fps_320x184", "fps", "fcvsr_s", 184, 320, 1, 1500),
     ("fcvsr_full_fps_480x272", "fps", "fcvsr", 272, 480, 1, 2400),
     ("fcvsr_s_train_step_ms", "train", "fcvsr_s", 64, 64, 2, 1800),
     # train.py --fast routing (fused IAC fwd + fused adjoint kernels;
@@ -242,9 +251,15 @@ def main():
                          "is launched once it cannot fit")
     ap.add_argument("--only", default="",
                     help="comma-separated metric names to run (debug)")
+    ap.add_argument("--out", default=os.environ.get("BENCH_OUT_DIR", ""),
+                    help="directory for BENCH_partial.json / "
+                         "BENCH_BANKED.json (default: repo root); lets "
+                         "harness tests run without clobbering a real "
+                         "banked capture")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    outdir = args.out or repo
     worker = _WORKER.format(repo=repo)
     t_start = time.perf_counter()
     state = {"ladder": {}, "notes": {}}
@@ -256,23 +271,37 @@ def main():
             if ladder.get(name):
                 metric, fps = name, ladder[name]
                 break
-        vs = 1.0
+        # vs_baseline is only meaningful when the landed headline measures
+        # the same model/shape/harness as the baseline pin (the round-1
+        # full-model entry).  An S-model fallback is NOT comparable — emit
+        # null rather than a parity-implying 1.0 (VERDICT r4 #1, ADVICE r4).
+        vs = None
         baseline_path = os.path.join(repo, "bench_baseline.json")
         if os.path.exists(baseline_path):
             try:
                 prev = json.load(open(baseline_path))
-                # exact and deployment entries measure the same model/shape/
-                # harness; both compare against the round-1 full-model pin
                 same = (prev.get("metric") == metric
                         or (str(prev.get("metric")).startswith("fcvsr_full")
                             and metric.startswith("fcvsr_full")))
                 if same and prev.get("value") and fps:
-                    vs = fps / prev["value"]
+                    vs = round(fps / prev["value"], 3)
             except Exception:
                 pass
         out = {"metric": metric, "value": round(fps, 3),
-               "unit": "frames/sec/chip", "vs_baseline": round(vs, 3),
+               "unit": "frames/sec/chip", "vs_baseline": vs,
                "all": ladder}
+        if vs is None:
+            out["baseline_incomparable"] = True
+            # point the reader at the last committed full-ladder capture so
+            # a timed-out run still references the real deployment numbers
+            try:
+                prior = json.load(open(os.path.join(repo,
+                                                    "BENCH_BANKED.json")))
+                out["banked_prior"] = {k: prior.get(k) for k in
+                                       ("metric", "value", "unit",
+                                        "vs_baseline", "all", "when")}
+            except Exception:
+                pass
         out.update(state["notes"])
         probe_path = os.path.join(repo, "TPU_PROBE.json")
         if os.path.exists(probe_path):
@@ -285,10 +314,20 @@ def main():
     def bank(extra_print=True):
         out = result_json()
         try:
-            with open(os.path.join(repo, "BENCH_partial.json"), "w") as f:
+            with open(os.path.join(outdir, "BENCH_partial.json"), "w") as f:
                 json.dump(out, f)
         except Exception:
             pass
+        if state["ladder"].get(HEADLINE_PREF[0]):
+            # a real headline capture: refresh the committed-bank file so
+            # future timed-out runs can cite it as banked_prior
+            try:
+                with open(os.path.join(outdir, "BENCH_BANKED.json"),
+                          "w") as f:
+                    json.dump({k: v for k, v in out.items()
+                               if k != "banked_prior"}, f, indent=1)
+            except Exception:
+                pass
         if extra_print:
             print(json.dumps(out), flush=True)
         return out

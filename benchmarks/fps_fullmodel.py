@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--iac", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--head", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--mffr", default="f32", choices=["f32", "bf16"])
-    ap.add_argument("--tail-impl", default="xla", choices=["xla", "folded"])
+    ap.add_argument("--tail-impl", default="xla",
+                    choices=["xla", "folded", "folded_pb"])
     ap.add_argument("--no-batch-mgaa", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--delta", action="store_true",

@@ -314,6 +314,11 @@ def main():
     for name, setup in bench.items():
         if only and name not in only:
             continue
+        # process-global routing flags must not leak between entries (the
+        # repo's cross-test-pollution lesson; ADVICE r4): reset the CT-DFT
+        # flag before every setup so only rfft192_bf16_ct sees it enabled.
+        from fcvsr_tpu.ops.freq import set_dft_ct
+        set_dft_ct(False)
         fn, inp, *rest = setup()
         extras = rest[0] if rest else ()
 

@@ -344,6 +344,71 @@ def main():
 
     bench["tail_folded_rows"] = setup_tail_folded_rows
 
+    def setup_tail_folded_pb():
+        # phase-blocked folded pair (VERDICT r4 #2): dense folded kernels
+        # are 25% / 6.25% nonzero — per-phase 2x2 convs drop the zero
+        # FLOPs (upconv2 616 -> 154 GFLOP dense-equivalent) and the block
+        # channel layout rides into the tap-major conv_last0 via a
+        # weight-side permutation, so no (H,W,16nf) interleave relayout
+        # runs (the r3 phase split lost in-chain on exactly that relayout).
+        from fcvsr_tpu.ops.psfold import (block_to_interleaved_perm,
+                                          conv_folded_phase2_blocked,
+                                          conv_folded_tapmajor,
+                                          fold_ps_bias, fold_ps_conv)
+
+        l1 = arr(1, h, w, nf)
+        l2 = arr(1, h // 2, w // 2, nf)
+        l3 = arr(1, h // 4, w // 4, nf)
+
+        class TailFoldedPB(nn.Module):
+            @nn.compact
+            def __call__(self, l1, l2, l3):
+                lrelu = PReLU(name="lrelu")
+                out_l3 = lrelu(Conv2d(nf, 3, name="upconv1_L3")(l3))
+                out_l3_1 = pixel_shuffle(out_l3)
+                out_l3_2 = pixel_shuffle(out_l3_1)
+                out_l2 = lrelu(Conv2d(nf, 3, name="upconv1_L2")(l2))
+                out_l2 = pixel_shuffle(
+                    out_l2 + Conv2d(nf, 3, name="upconv1_L2_2")(
+                        jnp.concatenate([out_l2, out_l3_1], -1)))
+                fuse = jnp.concatenate([l1, out_l2, out_l3_2], -1)
+                fuse = Conv2d(nf, 3, name="recorb0")(
+                    Conv2d(nf, 3, name="upconv_fuse")(fuse))
+                w1 = self.param("w1", nn.initializers.normal(0.02),
+                                (3, 3, nf, 4 * nf))
+                b1 = self.param("b1", nn.initializers.zeros, (4 * nf,))
+                w2 = self.param("w2", nn.initializers.normal(0.02),
+                                (3, 3, nf, 4 * nf))
+                b2 = self.param("b2", nn.initializers.zeros, (4 * nf,))
+                wl = self.param("wl", nn.initializers.normal(0.02),
+                                (3, 3, nf, c))
+                bl = self.param("bl", nn.initializers.zeros, (c,))
+
+                def conv(v, kern, bias):
+                    pad = (kern.shape[0] - 1) // 2
+                    y = jax.lax.conv_general_dilated(
+                        v, kern.astype(v.dtype), (1, 1),
+                        ((pad, pad), (pad, pad)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    return y + bias.astype(v.dtype)
+
+                a = lrelu(conv(fuse, w1, b1))
+                f2k, f2b = fold_ps_conv(w2, 2), fold_ps_bias(b2, 2)
+                bmid = lrelu(conv_folded_phase2_blocked(a, f2k, f2b))
+                wl2 = fold_ps_conv(fold_ps_conv(wl, 2), 2)
+                perm = block_to_interleaved_perm(f2k.shape[3])
+                y16 = conv_folded_tapmajor(
+                    bmid, wl2[:, :, perm, :],
+                    fold_ps_bias(fold_ps_bias(bl, 2), 2))
+                return pixel_shuffle(pixel_shuffle(y16))
+
+        mod = TailFoldedPB()
+        p = mod.init(jax.random.PRNGKey(0), l1, l2, l3)
+        return (lambda v, a, b: mod.apply(p, v, a, b).astype(jnp.float32)), \
+            l1, (l2, l3)
+
+    bench["tail_folded_pb"] = setup_tail_folded_pb
+
     # ---- folded-tail components (what is the 9.5 ms made of?) ----
     def _plain_conv(v, kern, bias):
         pad = (kern.shape[0] - 1) // 2

@@ -151,7 +151,7 @@ def main():
     t_start = time.perf_counter()
     i = 0
     p0 = float(np.asarray(eval_psnr(state.params)))
-    rows.append((0, float("nan"), p0, 0.0))
+    rows.append((0, float("nan"), p0, 0.0, 0))
     print(f"step 0  psnr {p0:.3f}", flush=True)
     while i < args.steps:
         k = min(chunk, args.steps - i)
@@ -161,7 +161,7 @@ def main():
         dt = time.perf_counter() - t0
         i += k
         psnr = float(np.asarray(eval_psnr(state.params)))
-        rows.append((i, loss, psnr, dt))
+        rows.append((i, loss, psnr, dt, k))
         print(f"step {i}  loss {loss:.5f}  psnr {psnr:.3f}  "
               f"({dt / k * 1e3:.1f} ms/step incl dispatch)", flush=True)
 
@@ -171,14 +171,16 @@ def main():
         f"train_curve_{args.mode}.csv")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
-        f.write("step,loss,psnr,chunk_secs\n")
+        f.write("step,loss,psnr,chunk_secs,chunk_steps\n")
         for r in rows:
             f.write(",".join(str(v) for v in r) + "\n")
 
-    # steady-state ms/step from the last half of the chunks
+    # steady-state ms/step from the last half of the chunks; divide by the
+    # ACTUAL steps run per chunk (the final chunk may hold fewer than
+    # eval_every steps when steps % eval_every != 0 — ADVICE r4)
     half = [r for r in rows[1:] if r[0] > args.steps // 2]
     ms_step = (sum(r[3] for r in half)
-               / max(sum(1 for _ in half), 1) / chunk * 1e3)
+               / max(sum(r[4] for r in half), 1) * 1e3)
     print(json.dumps({
         "mode": args.mode, "steps": args.steps,
         "final_loss": round(rows[-1][1], 6),

@@ -383,7 +383,8 @@ class FCVSRNet(nn.Module):
         fuse = Conv2d(nf, 3, dtype=td, name="recorb0")(
             Conv2d(nf, 3, dtype=td, name="upconv_fuse")(fuse))
 
-        if self.tail_impl == "folded" and not self.is_initializing():
+        if self.tail_impl in ("folded", "folded_pb") \
+                and not self.is_initializing():
             # polyphase-folded cascade (ops/psfold.py): identical function,
             # computed at (H, W) — no (2H,2W)/(4H,4W) intermediates, no
             # big-tensor shuffle relayouts.  Kernels are rearranged from
@@ -405,11 +406,26 @@ class FCVSRNet(nn.Module):
             wl, bl = (p["conv_last0"]["Conv_0"][k]
                       for k in ("kernel", "bias"))
             a = lrelu(conv(fuse, w1, b1))                      # (H,W,4nf)
-            bmid = lrelu(conv(a, fold_ps_conv(w2, 2),
-                              fold_ps_bias(b2, 2)))            # (H,W,16nf)
+            f2k, f2b = fold_ps_conv(w2, 2), fold_ps_bias(b2, 2)
             wl2 = fold_ps_conv(fold_ps_conv(wl, 2), 2)
-            y16 = conv(bmid, wl2,
-                       fold_ps_bias(fold_ps_bias(bl, 2), 2))   # (H,W,16c)
+            bl2 = fold_ps_bias(fold_ps_bias(bl, 2), 2)
+            if self.tail_impl == "folded_pb" and f2k.shape[0] == 3:
+                # phase-blocked split (VERDICT r4 #2): the dense folded
+                # kernels are 25% / 6.25% nonzero — per-phase 2x2 convs
+                # drop the zero FLOPs (2.25x on upconv2), and the block
+                # channel layout rides to conv_last0 via a weight-side
+                # permutation so no (H,W,16nf) interleave relayout runs
+                # (that relayout is why the r3 phase split LOST in-chain).
+                from ..ops.psfold import (block_to_interleaved_perm,
+                                          conv_folded_phase2_blocked,
+                                          conv_folded_tapmajor)
+
+                bmid = lrelu(conv_folded_phase2_blocked(a, f2k, f2b))
+                perm = block_to_interleaved_perm(f2k.shape[3])
+                y16 = conv_folded_tapmajor(bmid, wl2[:, :, perm, :], bl2)
+            else:
+                bmid = lrelu(conv(a, f2k, f2b))                # (H,W,16nf)
+                y16 = conv(bmid, wl2, bl2)                     # (H,W,16c)
             out = pixel_shuffle(pixel_shuffle(y16))
         else:
             up = lrelu(pixel_shuffle(Conv2d(nf * 4, ks, dtype=td,

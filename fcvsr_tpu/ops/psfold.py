@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fold_ps_conv", "fold_ps_bias", "conv_folded_phase2",
-           "conv_folded_tapmajor"]
+           "conv_folded_tapmajor", "conv_folded_phase2_blocked",
+           "block_to_interleaved_perm"]
 
 
 def fold_ps_conv(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -119,6 +120,53 @@ def conv_folded_phase2(x, folded, bias):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             ys.append(y + bias[i * 2 + j :: 4].astype(x.dtype))
     return jnp.stack(ys, axis=-1).reshape(b, h, w, -1)
+
+
+def block_to_interleaved_perm(cout: int, phases: int = 4):
+    """Permutation p with  blocked[..., k] == interleaved[..., p[k]].
+
+    Fold layout interleaves: channel ``d*phases + ph``.  Block layout
+    groups per phase: position ``ph*cb + d`` (cb = cout // phases).  The
+    returned index array converts WEIGHT-side tensors between the two —
+    e.g. ``W_interleaved_cin[:, :, perm, :]`` consumes block-layout input.
+    """
+    cb = cout // phases
+    import numpy as np
+
+    idx = np.empty(cout, np.int32)
+    for ph in range(phases):
+        for d in range(cb):
+            idx[ph * cb + d] = d * phases + ph
+    return idx
+
+
+def conv_folded_phase2_blocked(x, folded, bias):
+    """``conv_folded_phase2`` emitting PHASE-BLOCKED output channels.
+
+    The round-3 in-chain loss of the phase split (87.11 -> 93.16 ms
+    full-model) was the trailing ``stack+reshape`` that re-interleaves the
+    four phase maps back into fold layout — a full (H, W, Cout) relayout
+    pass XLA cannot fuse away.  This variant concatenates the phase maps
+    instead (channels ``[phase0 | phase1 | phase2 | phase3]``, each block
+    ``Cout/4`` wide) and lets the *consumer* absorb the permutation on its
+    weight side (``block_to_interleaved_perm`` — free, weights are tiny),
+    so the 2.25x folded-FLOP reduction arrives without the relayout.
+    Same taps as the dense folded conv — exact up to reduction order.
+
+    x: (B, H, W, Cin); folded: (3, 3, Cin, Cout) from ``fold_ps_conv(k3,
+    2)`` with Cout % 4 == 0; bias: (Cout,).  Returns (B, H, W, Cout) in
+    block layout.
+    """
+    assert folded.shape[0] == 3 and folded.shape[1] == 3, folded.shape
+    ys = []
+    for i in range(2):
+        for j in range(2):
+            sub = folded[i : i + 2, j : j + 2, :, i * 2 + j :: 4]
+            y = jax.lax.conv_general_dilated(
+                x, sub.astype(x.dtype), (1, 1), ((1 - i, i), (1 - j, j)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            ys.append(y + bias[i * 2 + j :: 4].astype(x.dtype))
+    return jnp.concatenate(ys, axis=-1)
 
 
 def conv_folded_tapmajor(x, folded, bias):

@@ -28,10 +28,13 @@ def _load_bench():
 FAKE_PROBE = "print('DOT_OK', 0.1, 1.0, flush=True)\n"
 
 
-def _run_main(bench, monkeypatch, capsys, attempts, worker, argv=()):
+def _run_main(bench, monkeypatch, capsys, attempts, worker, argv=(),
+              outdir=None):
     monkeypatch.setattr(bench, "ATTEMPTS", attempts)
     monkeypatch.setattr(bench, "_PROBE", FAKE_PROBE)
     monkeypatch.setattr(bench, "_WORKER", worker)
+    if outdir is not None:  # never clobber the repo's real banked capture
+        monkeypatch.setenv("BENCH_OUT_DIR", str(outdir))
     monkeypatch.setattr(sys, "argv", ["bench.py", *argv])
     bench.main()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
@@ -56,28 +59,52 @@ def test_incremental_banking_and_failed_rung_skip(monkeypatch, capsys,
         ("rung_b", "fps", "boom", 8, 8, 1, 60),
         ("rung_c", "fps", "c", 8, 8, 1, 60),
     ]
-    outs = _run_main(bench, monkeypatch, capsys, attempts, worker)
+    outs = _run_main(bench, monkeypatch, capsys, attempts, worker,
+                     outdir=tmp_path)
     final = outs[-1]
     assert final["all"] == {"rung_a": 5.0, "rung_c": 7.5}
     assert "kernel exploded" in final["rung_errors"]["rung_b"]
     # cumulative emission: some earlier line already contains rung_a alone
     assert any(o["all"] == {"rung_a": 5.0} for o in outs[:-1])
-    # the banked file matches the last printed line
-    with open(os.path.join(REPO, "BENCH_partial.json")) as f:
+    # the banked file (in BENCH_OUT_DIR, not the repo) matches the last line
+    with open(tmp_path / "BENCH_partial.json") as f:
         assert json.load(f)["all"] == final["all"]
     # every printed line is a full parseable result dict
     assert all({"metric", "value", "unit", "vs_baseline"} <= set(o)
                for o in outs)
+    # no headline rung landed: comparison must be null, not a parity-
+    # implying 1.0, and the committed prior ladder must be cited
+    assert final["vs_baseline"] is None
+    assert final["baseline_incomparable"] is True
+    if os.path.exists(os.path.join(REPO, "BENCH_BANKED.json")):
+        assert final["banked_prior"]["metric"].startswith("fcvsr_full")
 
 
-def test_budget_stops_launching(monkeypatch, capsys):
+def test_headline_rung_updates_banked_file(monkeypatch, capsys, tmp_path):
+    bench = _load_bench()
+    headline = bench.HEADLINE_PREF[0]
+    worker = "import sys\nprint('FPS_RESULT', 12.5, flush=True)\n"
+    attempts = [(headline, "fps", "fcvsr_pallas", 8, 8, 1, 60)]
+    outs = _run_main(bench, monkeypatch, capsys, attempts, worker,
+                     outdir=tmp_path)
+    final = outs[-1]
+    assert final["metric"] == headline and final["value"] == 12.5
+    # comparable with the committed full-model baseline pin (2.73 fps)
+    assert final["vs_baseline"] == round(12.5 / 2.73, 3)
+    assert "banked_prior" not in final
+    with open(tmp_path / "BENCH_BANKED.json") as f:
+        banked = json.load(f)
+    assert banked["all"][headline] == 12.5
+
+
+def test_budget_stops_launching(monkeypatch, capsys, tmp_path):
     bench = _load_bench()
     worker = "import sys\nprint('FPS_RESULT', 1.0, flush=True)\n"
     attempts = [("rung_a", "fps", "a", 8, 8, 1, 60),
                 ("rung_b", "fps", "b", 8, 8, 1, 60)]
     # budget so small that after the probe no rung fits (tmo_eff < 300)
     outs = _run_main(bench, monkeypatch, capsys, attempts, worker,
-                     argv=["--budget", "10"])
+                     argv=["--budget", "10"], outdir=tmp_path)
     final = outs[-1]
     assert final["all"] == {}
     assert final["budget_stop"] == "rung_a"
@@ -105,7 +132,7 @@ def test_sigterm_emits_final_json(tmp_path):
         ''')
         bench.ATTEMPTS = [("rung_a", "fps", "ok", 8, 8, 1, 60),
                           ("rung_h", "fps", "hang", 8, 8, 1, 500)]
-        sys.argv = ["bench.py"]
+        sys.argv = ["bench.py", "--out", {str(tmp_path)!r}]
         bench.main()
     """))
     proc = subprocess.Popen([sys.executable, str(driver)],
@@ -113,7 +140,7 @@ def test_sigterm_emits_final_json(tmp_path):
                             text=True, cwd=REPO)
     # wait until rung_a has banked (BENCH_partial.json contains it)
     deadline = time.time() + 120
-    path = os.path.join(REPO, "BENCH_partial.json")
+    path = os.path.join(str(tmp_path), "BENCH_partial.json")
     while time.time() < deadline:
         try:
             with open(path) as f:

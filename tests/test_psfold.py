@@ -6,8 +6,11 @@ import numpy as np
 import pytest
 
 from fcvsr_tpu.models.blocks import pixel_shuffle
-from fcvsr_tpu.ops.psfold import (conv_folded_phase2, conv_folded_tapmajor,
-                                  fold_ps_bias, fold_ps_conv)
+from fcvsr_tpu.ops.psfold import (block_to_interleaved_perm,
+                                  conv_folded_phase2,
+                                  conv_folded_phase2_blocked,
+                                  conv_folded_tapmajor, fold_ps_bias,
+                                  fold_ps_conv)
 
 RNG = np.random.default_rng(11)
 
@@ -66,6 +69,51 @@ def test_conv_folded_phase2_exact(cin, cout):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("cin,cout", [(8, 4), (4, 12)])
+def test_conv_folded_phase2_blocked_exact(cin, cout):
+    """Block-layout phase split == dense folded conv after undoing the
+    block permutation (VERDICT r4 #2: the interleave rides the consumer's
+    weights, never the activation tensor)."""
+    x = jnp.asarray(RNG.standard_normal((2, 7, 6, cin * 4)), jnp.float32)
+    kern = fold_ps_conv(
+        jnp.asarray(RNG.standard_normal((3, 3, cin, cout)), jnp.float32), 2)
+    bias = fold_ps_bias(
+        jnp.asarray(RNG.standard_normal((cout,)), jnp.float32), 2)
+
+    ref = _conv(x, kern, bias)
+    blk = conv_folded_phase2_blocked(x, kern, bias)
+    perm = block_to_interleaved_perm(4 * cout)
+    # blocked[..., k] == interleaved[..., perm[k]]
+    np.testing.assert_allclose(np.asarray(blk),
+                               np.asarray(ref[..., perm]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_chain_tapmajor_matches_dense():
+    """The full phase-blocked pair (phase2_blocked -> weight-permuted
+    tap-major conv_last0) == the dense folded pair — the exact composition
+    FCVSRNet(tail_impl='folded_pb') runs."""
+    cin, cmid, cout = 6, 4, 1
+    x = jnp.asarray(RNG.standard_normal((1, 8, 9, cin * 4)), jnp.float32)
+    k2 = fold_ps_conv(
+        jnp.asarray(RNG.standard_normal((3, 3, cin, cmid * 4)), jnp.float32),
+        2)
+    b2 = fold_ps_bias(
+        jnp.asarray(RNG.standard_normal((cmid * 4,)), jnp.float32), 2)
+    kl = fold_ps_conv(fold_ps_conv(
+        jnp.asarray(RNG.standard_normal((3, 3, cmid, cout)), jnp.float32),
+        2), 2)
+    bl = fold_ps_bias(fold_ps_bias(
+        jnp.asarray(RNG.standard_normal((cout,)), jnp.float32), 2), 2)
+
+    ref = _conv(jax.nn.relu(_conv(x, k2, b2)), kl, bl)
+    blk = jax.nn.relu(conv_folded_phase2_blocked(x, k2, b2))
+    perm = block_to_interleaved_perm(k2.shape[3])
+    got = conv_folded_tapmajor(blk, kl[:, :, perm, :], bl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("cin,cout", [(8, 1), (4, 3)])
 def test_conv_folded_tapmajor_exact(cin, cout):
     """Taps matmul + shifted adds == the dense doubly-folded conv (fp
@@ -97,9 +145,11 @@ def test_model_folded_tail_matches_standard():
                         jnp.float32)
         params = model.init(jax.random.PRNGKey(0), x)
         ref = np.asarray(model.apply(params, x))
-        got = np.asarray(dataclasses.replace(model, tail_impl="folded")
-                         .apply(params, x))
-        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+        for impl in ("folded", "folded_pb"):
+            got = np.asarray(dataclasses.replace(model, tail_impl=impl)
+                             .apply(params, x))
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
+                                       err_msg=impl)
 
 
 def test_model_folded_tail_grads():
