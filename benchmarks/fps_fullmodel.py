@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--tail-impl", default="xla",
                     choices=["xla", "folded", "folded_pb"])
     ap.add_argument("--no-batch-mgaa", action="store_true")
+    ap.add_argument("--iac-chain", default="periter",
+                    choices=["periter", "resident"],
+                    help="resident = whole-chain VMEM kernel "
+                         "(ops.sac.set_iac_chain)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--delta", action="store_true",
                     help="compare output vs the rows/f32 variant")
@@ -71,12 +75,16 @@ def main():
                    iac_dtype=iac_dtype, tail_impl=tail_impl,
                    head_dtype=head_dtype, mffr_dtype=mffr_dtype)
 
+    from fcvsr_tpu.ops.sac import set_iac_chain
+
+    set_iac_chain(args.iac_chain)
     model = build(args.scnet, args.tail, args.iac, args.tail_impl,
                   args.head, args.mffr)
     params = model.init(jax.random.PRNGKey(0), x)
     out = {"model": args.model, "warp": args.warp, "scnet": args.scnet,
            "tail": args.tail, "iac": args.iac, "tail_impl": args.tail_impl,
-           "head": args.head, "mffr": args.mffr, "shape": [args.h, args.w]}
+           "head": args.head, "mffr": args.mffr, "shape": [args.h, args.w],
+           "iac_chain": args.iac_chain}
 
     if args.delta:
         # jit both applies: eager through the axon tunnel is ~0.3s/dispatch

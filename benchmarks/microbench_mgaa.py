@@ -139,6 +139,21 @@ def main():
                               k_tap_major=True).astype(jnp.float32),
         feat, (pred_k, offs))
 
+    # VMEM-resident whole-chain kernel (VERDICT r4 #3): the map ping-pongs
+    # between two VMEM buffers — HBM sees 1 read + 1 write instead of 6+6
+    def setup_iac6_resident(dtype=jnp.float32):
+        from fcvsr_tpu.ops.pallas_iac import iac_fused_resident
+
+        def fn(v, pk, of):
+            return iac_fused_resident(v.astype(dtype), pk.astype(dtype),
+                                      of, ac, d).astype(jnp.float32)
+
+        return fn, feat, (pred_k, offs)
+
+    bench["iac6_res"] = setup_iac6_resident
+    bench["iac6_res_bf16"] = functools.partial(setup_iac6_resident,
+                                               jnp.bfloat16)
+
     # ---- kernel predictor (KP -> F0 -> F1 with out_select) ----
     class Pred(nn.Module):
         @nn.compact

@@ -64,7 +64,9 @@ def main():
         # cat3 stays.
         from fcvsr_tpu.models.scnet_rows import scnet_rows_apply
 
-        for mode in ("cat3", "mstack"):
+        # mstack2 (r5): banded pair-row matmul — (128, 768) operands are
+        # exact MXU-tile multiples (mstack's 192x192 pads to 2x2 tiles)
+        for mode in ("cat3", "mstack", "mstack2"):
             bench[f"scnet{g}_bf16_{mode}"] = (
                 functools.partial(
                     lambda v, g=g, p=p, mode=mode: scnet_rows_apply(

@@ -93,6 +93,9 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/mgaa_trace")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--probe-only", action="store_true")
+    ap.add_argument("--deploy", action="store_true",
+                    help="profile the full deployment MGAA config "
+                         "(batch_fb + bf16 IAC chain)")
     args = ap.parse_args()
 
     import jax
@@ -125,9 +128,13 @@ def main():
     rng = np.random.default_rng(0)
     x3 = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3 * d)), jnp.float32)
 
-    # deployment configuration: fused Pallas IAC + bf16 spectral head
-    mgaa = MGAA(dim=d, ac_ks=3, ac_num=6, warp_impl="pallas",
-                head_dtype="bf16")
+    if args.deploy:
+        # the full deployment configuration (test.py --fast MGAA flags)
+        mgaa = MGAA(dim=d, ac_ks=3, ac_num=6, warp_impl="pallas",
+                    batch_fb=True, iac_dtype="bf16", head_dtype="bf16")
+    else:
+        mgaa = MGAA(dim=d, ac_ks=3, ac_num=6, warp_impl="pallas",
+                    head_dtype="bf16")
     params = mgaa.init(jax.random.PRNGKey(0), x3)
 
     @functools.partial(jax.jit, static_argnums=(2,))
@@ -136,8 +143,11 @@ def main():
             return acc + jnp.mean(mgaa.apply(p, v * (1.0 + 1e-6 * i)))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
+    # compile the SAME static n that will be traced (a different n would
+    # recompile INSIDE the trace and swamp the device events — round-5
+    # first capture did exactly that)
     t0 = time.perf_counter()
-    np.asarray(run_n(params, x3, 1))
+    np.asarray(run_n(params, x3, args.iters))
     print(f"compiled in {time.perf_counter() - t0:.0f}s", flush=True)
 
     n = args.iters

@@ -123,13 +123,20 @@ def _context_block(cp, x, h, w, tile_rows):
             * vm[None, :, None, :]).astype(x.dtype)
 
 
+def _pair_mode(mode):
+    # the pair kernel supports cat3 + the banded mstack2; the single-conv
+    # A/B modes (mstack/cat9) fall back to cat3 inside pairs
+    return "mstack2" if mode == "mstack2" else "cat3"
+
+
 def _rcb(rp, x, h, w, tile_rows, interpret, mode):
     # body0 -> lrelu(0.2) -> body1 fused: the intermediate stays in VMEM
     # (conv3x3_pair_rows — removes an HBM round-trip + DMA serialization
     # point; the chain is DMA-bound, not matmul-bound)
-    res = conv3x3_pair_rows(x, prep_weight(_k(rp["body0"])), None,
-                            prep_weight(_k(rp["body1"])), None, h=h, w=w,
-                            ns1=0.2, tile_rows=tile_rows,
+    pm = _pair_mode(mode)
+    res = conv3x3_pair_rows(x, prep_weight(_k(rp["body0"]), pm), None,
+                            prep_weight(_k(rp["body1"]), pm), None, h=h,
+                            w=w, ns1=0.2, tile_rows=tile_rows, mode=pm,
                             interpret=interpret)
     res = _context_block(rp["gcnet"], res, h, w, tile_rows)
     res = jnp.where(res >= 0, res, 0.2 * res)
@@ -158,10 +165,13 @@ def _block_rcb(bp, x_list, shapes, tile_rows, interpret, mode,
             res = _context_block(rp["gcnet"], res, h, w, tile_rows)
             res = jnp.where(res >= 0, res, 0.2 * res)
             return y + res
-        y = conv3x3_pair_rows(x, prep_weight(_k(bp["body0"])),
-                              _b(bp["body0"]), prep_weight(_k(bp["body1"])),
+        pm = _pair_mode(mode)
+        y = conv3x3_pair_rows(x, prep_weight(_k(bp["body0"]), pm),
+                              _b(bp["body0"]),
+                              prep_weight(_k(bp["body1"]), pm),
                               _b(bp["body1"]), h=h, w=w, ns1=0.1,
-                              tile_rows=tile_rows, interpret=interpret)
+                              tile_rows=tile_rows, mode=pm,
+                              interpret=interpret)
         return _rcb(bp["rcb"], y, h, w, tile_rows, interpret, mode)
 
     res = [body(x, s) for x, s in zip(x_list, shapes)]

@@ -94,6 +94,17 @@ def _rolled3(full):
     return [_lane_shift(full, 1), full, _lane_shift(full, -1)]
 
 
+def _pair_rhs(cat, pi):
+    """Banded pair-row rhs (12c, wp) for output-row pair ``pi``: rows
+    2pi..2pi+3 of the cat3 tensor concatenated along sublanes.  Built
+    from contiguous single-row slices — stride-2 outer-dim slices lower
+    to an unsupported gather on this Mosaic toolchain ('Only 2D gather
+    is supported', measured round 5)."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([cat[2 * pi + j] for j in range(4)], axis=0)
+
+
 def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
             neg_slope, mode, tiles, nb, has_res):
     import jax.numpy as jnp
@@ -153,11 +164,28 @@ def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
                  for dx in range(3)]
         rhs = jnp.concatenate(slabs, axis=1)
     else:
-        # 'cat3'/'mstack': concat the three dx-rolls once (th+2, 3c, wp);
-        # matmuls index rows through the outer dim — no per-row copies.
+        # 'cat3'/'mstack'/'mstack2': concat the three dx-rolls once
+        # (th+2, 3c, wp); matmuls index rows through the outer dim.
         cat = jnp.concatenate(rolled, axis=1)        # (th+2, 3c, wp)
 
     acc = [None] * th
+    if mode == "mstack2":
+        # banded pair-row layout (VERDICT r4 #8): one matmul per OUTPUT
+        # ROW PAIR against the 4 input rows both rows read.  At c=cout=64
+        # the operand is (128, 768)x(768, wp) — M exactly 1 MXU tile and
+        # K exactly 6 (vs mstack's 192x192 = 1.5x1.5 tiles padded to 2x2,
+        # 56% pad efficiency — which matches the measured 103/186 TF/s
+        # ratio exactly).  The band carries 25% structural zeros, so the
+        # analytic ceiling is 75% of the stream rate if (and only if)
+        # MXU pass time follows the PADDED operand; the A/B against
+        # mstack decides which cost model the hardware follows.
+        for pi in range(th // 2):
+            p = jax.lax.dot_general(
+                wmat, _pair_rhs(cat, pi),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (2*cout, wp)
+            acc[2 * pi] = p[:cout]
+            acc[2 * pi + 1] = p[cout:]
     if mode == "mstack":
         # One (3*cout, 3c) matmul per INPUT row, scatter-accumulated into
         # the <=3 output rows it feeds (out[r] += w_dy @ cat[r+dy] means
@@ -182,7 +210,7 @@ def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
                 wmat, rhs[r],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (cout, wp)
-        elif mode == "mstack":
+        elif mode in ("mstack", "mstack2"):
             o = acc[r]
         else:
             o = None
@@ -206,7 +234,8 @@ def _kernel(src_hbm, w_ref, b_ref, *rest, th, c, cout, wp, h, w, act,
 
 
 def _pair_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win,
-                 sems, *, th, c, c1, cout, wp, h, w, ns1, tiles, nb):
+                 sems, *, th, c, c1, cout, wp, h, w, ns1, tiles, nb,
+                 mode="cat3"):
     """Two chained 3x3 convs per tile: the intermediate lives in VMEM.
 
     out = conv2(lrelu_ns1(conv1(window) + b1)) + b2, both cat3-style.
@@ -251,19 +280,37 @@ def _pair_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win,
     t0 = ti * th
     dma(g, g % 2).wait()
 
-    cat = jnp.concatenate(_rolled3(win[g % 2]), axis=1)  # (th+4, 3c, wp)
+    rolled_w = _rolled3(win[g % 2])                  # 3x (th+4, c, wp)
+
+    def stage_raw(rolled, wmat, co, nrows):
+        """Raw matmul outputs for nrows consecutive output rows."""
+        cat = jnp.concatenate(rolled, axis=1)        # (nrows+2, 3ci, wp)
+        if mode == "mstack2":
+            # banded pair-row matmul (see _kernel): exact-tile operands
+            raws = []
+            for pi in range(nrows // 2):
+                p = jax.lax.dot_general(
+                    wmat, _pair_rhs(cat, pi),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (2co, wp)
+                raws += [p[:co], p[co:]]
+            return raws
+        raws = []
+        for r in range(nrows):
+            o = None
+            for dy in range(3):
+                d = jax.lax.dot_general(
+                    wmat[dy], cat[r + dy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o = d if o is None else o + d
+            raws.append(o)
+        return raws
 
     # ---- conv1: th+2 intermediate rows [t0-1, t0+th+1), masked like a
     # chain output so conv2 sees the zero ring ----
     mids = []
-    for r in range(th + 2):                          # mid global row t0-1+r
-        o = None
-        for dy in range(3):
-            d = jax.lax.dot_general(
-                w1[dy], cat[r + dy],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o = d if o is None else o + d
+    for r, o in enumerate(stage_raw(rolled_w, w1, c1, th + 2)):
         o = o + b1_ref[...]
         o = jnp.where(o >= 0, o, ns1 * o)
         gr = t0 - 1 + r
@@ -273,17 +320,9 @@ def _pair_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win,
     # bf16 intermediate (same storage rounding as the unfused chain) —
     # halves the stack + shift volume and feeds the matmuls directly
     mid = jnp.stack(mids)                            # (th+2, c1, wp) bf16
-    mcat = jnp.concatenate(_rolled3(mid), axis=1)    # (th+2, 3c1, wp)
 
     # ---- conv2: th output rows ----
-    for r in range(th):
-        o = None
-        for dy in range(3):
-            d = jax.lax.dot_general(
-                w2[dy], mcat[r + dy],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o = d if o is None else o + d
+    for r, o in enumerate(stage_raw(_rolled3(mid), w2, cout, th)):
         o = o + b2_ref[...]
         gr = t0 + r
         rowvalid = jnp.logical_and(gr >= ROW_OFF, gr < ROW_OFF + h)
@@ -292,10 +331,12 @@ def _pair_kernel(src_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ns1", "tile_rows",
-                                             "out_dtype", "interpret"))
+                                             "mode", "out_dtype",
+                                             "interpret"))
 def conv3x3_pair_rows(x_rows, w1, b1, w2, b2, *, h: int, w: int,
                       ns1: float = 0.2, tile_rows: int = 16,
-                      out_dtype=None, interpret: bool = False):
+                      mode: str = "cat3", out_dtype=None,
+                      interpret: bool = False):
     """conv2(leaky_relu(conv1(x))) on rows-layout activations, one kernel.
 
     The SCNet chain's body0->body1 pairs (12 of the 13 convs per
@@ -303,10 +344,12 @@ def conv3x3_pair_rows(x_rows, w1, b1, w2, b2, *, h: int, w: int,
     leaky-relu between: fusing them keeps the intermediate in VMEM and
     removes one full HBM write+read+DMA-serialization point per pair.
 
-    w1/w2: cat3 ``prep_weight`` layout (3, Cmid, 3*Cin)/(3, Cout, 3*Cmid);
-    b1/b2: (Cmid,)/(Cout,) or None.  ``ns1``: conv1's leaky-relu slope
-    (conv1's activation is always applied; pass the pair's slope).  conv2
-    output has NO activation (callers apply ContextBlock etc. after).
+    w1/w2: ``prep_weight`` layout matching ``mode`` — cat3
+    (3, Cmid, 3*Cin)/(3, Cout, 3*Cmid) or mstack2 (2*Cmid, 12*Cin)/
+    (2*Cout, 12*Cmid); b1/b2: (Cmid,)/(Cout,) or None.  ``ns1``: conv1's
+    leaky-relu slope (conv1's activation is always applied; pass the
+    pair's slope).  conv2 output has NO activation (callers apply
+    ContextBlock etc. after).
     Semantics == two ``conv3x3_rows`` calls with act=True on the first.
     """
     from jax.experimental import pallas as pl
@@ -315,10 +358,21 @@ def conv3x3_pair_rows(x_rows, w1, b1, w2, b2, *, h: int, w: int,
     b, hp, c, wp = x_rows.shape
     assert (hp, wp) == rows_geometry(h, w, tile_rows), \
         (hp, wp, rows_geometry(h, w, tile_rows))
-    assert w1.ndim == 3 and w1.shape[0] == 3 and w1.shape[2] == 3 * c
-    c1 = w1.shape[1]
-    assert w2.shape == (3, w2.shape[1], 3 * c1)
-    cout = w2.shape[1]
+    if mode == "mstack2":
+        assert tile_rows % 2 == 0, tile_rows
+        c1 = w1.shape[0] // 2
+        assert w1.shape == (2 * c1, 12 * c)
+        cout = w2.shape[0] // 2
+        assert w2.shape == (2 * cout, 12 * c1)
+        w1spec = pl.BlockSpec((2 * c1, 12 * c), lambda bi, ti: (0, 0))
+        w2spec = pl.BlockSpec((2 * cout, 12 * c1), lambda bi, ti: (0, 0))
+    else:
+        assert w1.ndim == 3 and w1.shape[0] == 3 and w1.shape[2] == 3 * c
+        c1 = w1.shape[1]
+        assert w2.shape == (3, w2.shape[1], 3 * c1)
+        cout = w2.shape[1]
+        w1spec = pl.BlockSpec((3, c1, 3 * c), lambda bi, ti: (0, 0, 0))
+        w2spec = pl.BlockSpec((3, cout, 3 * c1), lambda bi, ti: (0, 0, 0))
     assert wp % 128 == 0 and c % 16 == 0 and c1 % 16 == 0
     tiles = hp // tile_rows
     b1v = jnp.zeros((c1, 1), jnp.float32) if b1 is None \
@@ -328,15 +382,15 @@ def conv3x3_pair_rows(x_rows, w1, b1, w2, b2, *, h: int, w: int,
 
     kern = functools.partial(_pair_kernel, th=tile_rows, c=c, c1=c1,
                              cout=cout, wp=wp, h=h, w=w, ns1=ns1,
-                             tiles=tiles, nb=b)
+                             tiles=tiles, nb=b, mode=mode)
     return pl.pallas_call(
         kern,
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((3, c1, 3 * c), lambda bi, ti: (0, 0, 0)),
+            w1spec,
             pl.BlockSpec((c1, 1), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((3, cout, 3 * c1), lambda bi, ti: (0, 0, 0)),
+            w2spec,
             pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_rows, cout, wp),
@@ -531,6 +585,10 @@ def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:
     (matching the in-kernel dx-roll concat order).
     'mstack': (3*Cout, 3*Cin) — the cat3 slabs stacked dy-major along M
     (one matmul per input row, scatter-accumulated).
+    'mstack2': (2*Cout, 12*Cin) — banded pair-row matrix: row block 0
+    (output row r) = [w0 w1 w2 0], row block 1 (row r+1) = [0 w0 w1 w2]
+    over the 4 input-row K blocks (one matmul per output-row pair; at
+    Cin=Cout=64 both operand dims are exact MXU-tile multiples).
     """
     kh, kw, cin, cout = weight.shape
     assert kh == 3 and kw == 3
@@ -539,6 +597,11 @@ def prep_weight(weight: jnp.ndarray, mode: str = "cat3") -> jnp.ndarray:
     w3 = jnp.transpose(weight, (0, 3, 1, 2)).reshape(3, cout, 3 * cin)
     if mode == "mstack":
         return w3.reshape(3 * cout, 3 * cin)
+    if mode == "mstack2":
+        z = jnp.zeros((cout, 3 * cin), weight.dtype)
+        top = jnp.concatenate([w3[0], w3[1], w3[2], z], axis=1)
+        bot = jnp.concatenate([z, w3[0], w3[1], w3[2]], axis=1)
+        return jnp.concatenate([top, bot], axis=0)   # (2*cout, 12*cin)
     return w3
 
 
@@ -593,6 +656,11 @@ def conv3x3_rows(x_rows, wmat, bias=None, res=None, *, h: int, w: int,
         cout = wmat.shape[0] // 3
         assert wmat.shape == (3 * cout, 3 * c)
         wspec = pl.BlockSpec((3 * cout, 3 * c), lambda bi, ti: (0, 0))
+    elif mode == "mstack2":
+        cout = wmat.shape[0] // 2
+        assert wmat.shape == (2 * cout, 12 * c)
+        assert tile_rows % 2 == 0, tile_rows
+        wspec = pl.BlockSpec((2 * cout, 12 * c), lambda bi, ti: (0, 0))
     else:
         cout = wmat.shape[1]
         assert wmat.shape == (3, cout, 3 * c)

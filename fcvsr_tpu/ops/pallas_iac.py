@@ -64,7 +64,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["iac_fused", "warp_sac_fused", "iac_fused_vjp"]
+__all__ = ["iac_fused", "iac_fused_resident", "warp_sac_fused",
+           "iac_fused_vjp"]
 
 
 def _geometry(h, w, radius):
@@ -155,90 +156,13 @@ def _kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref,
             # ref, so the overlapping halo rows are assembled OUTSIDE the
             # kernel (flow is (H, W, 2) — tiny) and pipelined in as
             # ordinary (1, 1, wh, w) blocks, one per (batch, tile).
-            fx = fxt_ref[0, 0]
-            fy = fyt_ref[0, 0]
-
-            # ---- per-tile base offsets (precomputed; see _rows_call).
-            # rows0 = fr0 + base_y - r + pad_v, inverted here so the
-            # stencil weights use exactly the DMA'd window's base.
-            base_y = rows0_ref[step] - fr0 + r - pad_v
-            base_x = bxs_ref[step]
-
-            # ---- stencil weights (independent of the window) ----
-            nx = 2 * r + 2
-            eps = 1e-4
-            a = jnp.clip(fy - base_y.astype(fy.dtype) + r, 0.0,
-                         nx - 1 - eps)
-            b = jnp.clip(fx - base_x.astype(fx.dtype) + r, 0.0,
-                         nx - 1 - eps)
-            y0 = jnp.floor(a)
-            x0 = jnp.floor(b)
-            fyf = a - y0
-            fxf = b - x0
-
-            # ---- align window columns: rotate lanes so col
-            # (base_x - r + pad_l) lands on lane 0; taps then use static
-            # slices.  No wraparound reads: max used lane =
-            # (w-1) + (nx-1) + col0_max < wp by padding choice.
-            # bf16 storage: widen BEFORE the roll (pltpu.roll on bf16
-            # 16-sublane tiling crashes the Mosaic compile helper — same
-            # constraint as ops/pallas_conv.py).
-            col0 = base_x - r + pad_l
-            full = win2[step % 2]
-            if full.dtype != jnp.float32:
-                full = full.astype(jnp.float32)
-            rolled = pltpu.roll(full, wp - col0, axis=2)
-
-            # ---- separable bilinear stencil: (2r+2)^2 static shifted
-            # fmas, accumulated directly in the rows (rows, C, W) layout.
-            # NOTE: keep the lane slices INSIDE the tap loop — Mosaic fuses
-            # slice+fma; hoisting the nx distinct column windows into
-            # materialized arrays measured 23x SLOWER (16.6 -> 385 ms on
-            # the bf16 MGAA), not faster.
-            warped = jnp.zeros((wh, c, w), jnp.float32)
-            wy = []
-            wx = []
-            for e in range(nx):
-                wy.append(jnp.where(y0 == e, 1.0 - fyf, 0.0)
-                          + jnp.where(y0 == e - 1, fyf, 0.0))
-                wx.append(jnp.where(x0 == e, 1.0 - fxf, 0.0)
-                          + jnp.where(x0 == e - 1, fxf, 0.0))
-            for e in range(nx):
-                for f in range(nx):
-                    wgt = wy[e] * wx[f]
-                    warped = warped + wgt[:, None, :] * \
-                        rolled[e : e + wh, :, f : f + w]
-
-            # ---- SAC (kernel1 both passes) in rows layout ----
-            # replicate borders: duplicated first/last warped rows
-            wpad = jnp.concatenate(
-                [warped[0:1], warped, warped[wh - 1 : wh]], 0)
-            kts = [k_ref[0, :, tap * c : (tap + 1) * c, :]
-                   .astype(jnp.float32)
-                   for tap in range(3)]  # (th, c, w) each
-
-            # m0 is 1 on interior tiles, 0/2 on the first/last tile;
-            # dynamic slicing is unavailable in this TPU lowering, so take
-            # the three static variants and select (the vertical pass is
-            # cheap vs the stencil).
-            def vpass(m):
-                acc = jnp.zeros((th, c, w), jnp.float32)
-                for tap in range(3):
-                    acc = acc + kts[tap] * wpad[m + tap : m + tap + th]
-                return acc
-
-            v = jnp.where(m0 == 0, vpass(0),
-                          jnp.where(m0 == 2, vpass(2), vpass(1)))
-            hpad = jnp.concatenate(
-                [v[:, :, 0:1], v, v[:, :, w - 1 : w]], 2)
-            out = jnp.zeros((th, c, w), jnp.float32)
-            for tap in range(3):
-                out = out + kts[tap] * hpad[:, :, tap : tap + w]
-
-            # embed at the lane offset, add the (ring-zero) residual —
-            # the ring stays zero through the add and the leaky relu
-            out = jnp.pad(out, ((0, 0), (0, 0), (pad_l, wp - pad_l - w)))
-            out = out + fin_ref[0].astype(jnp.float32)
+            # rows0 = fr0 + base_y - r + pad_v, inverted in the helper so
+            # the stencil weights use exactly the DMA'd window's base.
+            out = _tile_stencil_sac(
+                win2[step % 2], fxt_ref[0, 0], fyt_ref[0, 0],
+                rows0_ref[step] - fr0 + r - pad_v, bxs_ref[step],
+                k_ref[0], fin_ref[0], m0, radius=r, th=th, wh=wh, c=c,
+                w=w, wp=wp, pad_l=pad_l)
             if act:
                 out = jnp.where(out >= 0, out, 0.1 * out)
             out_ref[0] = out.astype(out_ref.dtype)
@@ -246,14 +170,124 @@ def _kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref,
     body()
 
 
+def _tile_stencil_sac(full, fx, fy, base_y, base_x, k_slab, fin_slab, m0,
+                      *, radius, th, wh, c, w, wp, pad_l):
+    """One tile's warp stencil + SAC (kernel1 both) + residual, f32 out.
+
+    full: (wrows, c, wp) source window (any storage dtype); fx/fy: the
+    tile's (wh, w) flow halos; base_y/base_x: scalar base offsets the
+    window was DMA'd at; k_slab: (th, 3c, w) tap-major kernels; fin_slab:
+    (th, c, wp) residual rows.  Shared by the per-iteration kernel
+    (_kernel) and the VMEM-resident chain kernel (_chain_kernel) — the
+    math is identical, only the window source differs.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = radius
+
+    # ---- stencil weights (independent of the window) ----
+    nx = 2 * r + 2
+    eps = 1e-4
+    a = jnp.clip(fy - base_y.astype(fy.dtype) + r, 0.0, nx - 1 - eps)
+    b = jnp.clip(fx - base_x.astype(fx.dtype) + r, 0.0, nx - 1 - eps)
+    y0 = jnp.floor(a)
+    x0 = jnp.floor(b)
+    fyf = a - y0
+    fxf = b - x0
+
+    # ---- align window columns: rotate lanes so col
+    # (base_x - r + pad_l) lands on lane 0; taps then use static
+    # slices.  No wraparound reads: max used lane =
+    # (w-1) + (nx-1) + col0_max < wp by padding choice.
+    # bf16 storage: widen BEFORE the roll (pltpu.roll on bf16
+    # 16-sublane tiling crashes the Mosaic compile helper — same
+    # constraint as ops/pallas_conv.py).
+    col0 = base_x - r + pad_l
+    if full.dtype != jnp.float32:
+        full = full.astype(jnp.float32)
+    rolled = pltpu.roll(full, wp - col0, axis=2)
+
+    # ---- separable bilinear stencil: (2r+2)^2 static shifted
+    # fmas, accumulated directly in the rows (rows, C, W) layout.
+    # NOTE: keep the lane slices INSIDE the tap loop — Mosaic fuses
+    # slice+fma; hoisting the nx distinct column windows into
+    # materialized arrays measured 23x SLOWER (16.6 -> 385 ms on
+    # the bf16 MGAA), not faster.
+    warped = jnp.zeros((wh, c, w), jnp.float32)
+    wy = []
+    wx = []
+    for e in range(nx):
+        wy.append(jnp.where(y0 == e, 1.0 - fyf, 0.0)
+                  + jnp.where(y0 == e - 1, fyf, 0.0))
+        wx.append(jnp.where(x0 == e, 1.0 - fxf, 0.0)
+                  + jnp.where(x0 == e - 1, fxf, 0.0))
+    for e in range(nx):
+        for f in range(nx):
+            wgt = wy[e] * wx[f]
+            warped = warped + wgt[:, None, :] * \
+                rolled[e : e + wh, :, f : f + w]
+
+    # ---- SAC (kernel1 both passes) in rows layout ----
+    # replicate borders: duplicated first/last warped rows
+    wpad = jnp.concatenate(
+        [warped[0:1], warped, warped[wh - 1 : wh]], 0)
+    kts = [k_slab[:, tap * c : (tap + 1) * c, :].astype(jnp.float32)
+           for tap in range(3)]  # (th, c, w) each
+
+    # m0 is 1 on interior tiles, 0/2 on the first/last tile;
+    # dynamic slicing is unavailable in this TPU lowering, so take
+    # the three static variants and select (the vertical pass is
+    # cheap vs the stencil).
+    def vpass(m):
+        acc = jnp.zeros((th, c, w), jnp.float32)
+        for tap in range(3):
+            acc = acc + kts[tap] * wpad[m + tap : m + tap + th]
+        return acc
+
+    v = jnp.where(m0 == 0, vpass(0),
+                  jnp.where(m0 == 2, vpass(2), vpass(1)))
+    hpad = jnp.concatenate(
+        [v[:, :, 0:1], v, v[:, :, w - 1 : w]], 2)
+    out = jnp.zeros((th, c, w), jnp.float32)
+    for tap in range(3):
+        out = out + kts[tap] * hpad[:, :, tap : tap + w]
+
+    # embed at the lane offset, add the (ring-zero) residual —
+    # the ring stays zero through the add and the leaky relu
+    out = jnp.pad(out, ((0, 0), (0, 0), (pad_l, wp - pad_l - w)))
+    return out + fin_slab.astype(jnp.float32)
+
+
+def _tile_flow(flow, h, tile_rows):
+    """Pre-tiled flow halos for every leading axis at once.
+
+    flow: (..., H, W, 2) -> (fxt, fyt), each (..., tiles, wh, W).  The
+    halo gather AND the x/y channel split run ONCE here for a whole
+    offsets stack: the round-4 device profile (benchmarks/
+    profile_mgaa_head.py) showed ~24 per-iteration (H, W, 2)->(H, W, 1)
+    strided slice-DMAs per MGAA call clogging the copy queue — hoisting
+    them to one gather + two slices per chain removes that glue.
+    """
+    wh = tile_rows + 2
+    tiles = h // tile_rows
+    w = flow.shape[-2]
+    fr0 = jnp.clip(jnp.arange(tiles) * tile_rows - 1, 0, h - wh)
+    rows = (fr0[:, None] + jnp.arange(wh)[None, :]).ravel()
+    t = jnp.take(flow, rows, axis=flow.ndim - 3)
+    t = t.reshape(flow.shape[:-3] + (tiles, wh, w, 2))
+    return t[..., 0], t[..., 1]
+
+
 @functools.partial(
     jax.jit, static_argnames=("chunk", "h", "w", "radius", "tile_rows",
                               "act", "interpret"))
-def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
-               act, interpret):
+def _rows_call(src, fxt, fyt, ktr, fin_rows, chunk, h, w, radius,
+               tile_rows, act, interpret):
     """One fused iteration, rows layout in -> rows layout out.
 
-    src/fin_rows: (B, Hp, C, Wp); flow: (B, H, W, 2); ktr: rows-transposed
+    src/fin_rows: (B, Hp, C, Wp); fxt/fyt: pre-tiled flow halos
+    (B, tiles, wh, W) from :func:`_tile_flow`; ktr: rows-transposed
     tap-major kernels (B, H, AC*3C, W) — ``chunk`` selects the iteration's
     3C-channel block inside the BlockSpec (no per-iteration slicing copy).
     """
@@ -268,14 +302,7 @@ def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
     tiles_p = hp // th
     pvt = pad_v // th
     wh = th + 2
-
-    # Pre-tiled flow halos: rows [fr0, fr0+wh) per tile, as plain blocks —
-    # overlapping halo reads cannot be expressed as (aligned) in-kernel
-    # slices, and flow is tiny so the XLA-side gather is free.
     fr0 = jnp.clip(jnp.arange(tiles) * tile_rows - 1, 0, h - wh)
-    rows = fr0[:, None] + jnp.arange(wh)[None, :]          # (tiles, wh)
-    flow_t = flow[:, rows]                                 # (B, tiles, wh, W, 2)
-    fxt, fyt = flow_t[..., 0], flow_t[..., 1]
 
     def data_tile(tip):
         return jnp.clip(tip - pvt, 0, tiles - 1)
@@ -337,6 +364,238 @@ def _rows_call(src, flow, ktr, fin_rows, chunk, h, w, radius, tile_rows,
     )(rows0, bxs, fxt, fyt, src, ktr, fin_rows)
 
 
+def _chain_kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref,
+                  fin_ref, out_ref, bufs, win2, tmp, sems, wsem, *, radius,
+                  th, h, w, c, pad_v, pad_l, bmax_x, wp, ac, act_last,
+                  tiles, tiles_p):
+    """The WHOLE ac-iteration IAC chain in one kernel, VMEM-resident.
+
+    VERDICT r4 #3: the per-iteration chain ran at ~209 GB/s effective vs
+    the chip's ~660 GB/s serial-DMA probe — the per-iteration kernel
+    boundary (6 HBM round-trips of the full feature map + 6 launches) was
+    the gap.  Iterations cannot be pipelined against each other (each
+    warp's reads are globally flow-displaced into the previous
+    iteration's output), but the TPU grid executes sequentially — so with
+    grid (batch, iteration, tile) the iteration axis IS the barrier, and
+    the feature map can ping-pong between two whole-map VMEM scratch
+    buffers instead of round-tripping HBM: iteration 0 window-DMAs from
+    the HBM source, everything after reads/writes VMEM only, and only the
+    last iteration's tiles stream back out.  HBM traffic drops from
+    6 reads + 6 writes of the map to 1 read + 1 write (the per-iteration
+    kernels' blocks — k slabs, flow halos, residual — stream unchanged).
+
+    Scratch discipline: tile outputs go through ``tmp`` + a local async
+    copy into the write buffer at the tile's row offset (dynamic outer-dim
+    stores on VMEM refs are not trusted on this toolchain; local DMA with
+    a dynamic outer base is the same mechanism the window reads use).  The
+    window-DMA one-step lookahead stops at iteration boundaries: step s+1
+    of a new iteration reads the buffer step s is still writing, so the
+    first tile of each iteration >= 1 does an inline start+wait — cheap,
+    as those copies are VMEM->VMEM.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = radius
+    wh = th + 2
+    wrows = wh + 2 * r + 1
+    pvt = pad_v // th
+
+    bi = pl.program_id(0)
+    it = pl.program_id(1)
+    tip = pl.program_id(2)
+    is_data = jnp.logical_and(tip >= pvt, tip < pvt + tiles)
+    t0 = jnp.clip(tip - pvt, 0, tiles - 1) * th
+    fr0 = jnp.clip(t0 - 1, 0, h - wh)
+    m0 = t0 - fr0
+
+    step = (bi * ac + it) * tiles_p + tip
+    total = pl.num_programs(0) * ac * tiles_p
+
+    def start(slot, s):
+        # source: HBM on iteration 0, else the previous iteration's
+        # VMEM buffer.  All copies move identical (wrows, c, wp) bytes
+        # through the same semaphore, so any shape-alike descriptor can
+        # wait.  Descriptors are built only inside their taken branch
+        # (an unused built descriptor trips a Pallas tracing error).
+        s_it = (s // tiles_p) % ac
+        s_bi = s // (tiles_p * ac)
+
+        @pl.when(s_it == 0)
+        def _():
+            pltpu.make_async_copy(
+                src_hbm.at[s_bi, pl.ds(rows0_ref[s], wrows)],
+                win2.at[slot], sems.at[slot]).start()
+
+        for p in range(2):
+            @pl.when(jnp.logical_and(s_it > 0, (s_it - 1) % 2 == p))
+            def _(p=p):
+                pltpu.make_async_copy(
+                    bufs.at[p, pl.ds(rows0_ref[s], wrows)],
+                    win2.at[slot], sems.at[slot]).start()
+
+    def wait_win(slot, s):
+        pltpu.make_async_copy(
+            src_hbm.at[s // (tiles_p * ac), pl.ds(rows0_ref[s], wrows)],
+            win2.at[slot], sems.at[slot]).wait()
+
+    def wdesc(s):
+        # write-copy descriptor for step s; the dst ref is only used for
+        # its byte count on wait, so the buffer index can be static
+        s_tip = s % tiles_p
+        return pltpu.make_async_copy(
+            tmp.at[s % 2], bufs.at[0, pl.ds(s_tip * th, th)],
+            wsem.at[s % 2])
+
+    # ---- deferred-write pipeline: step s waits step s-1's buffer-write
+    # copy (so writes overlap the next tile's compute instead of stalling
+    # inline), THEN starts windows.  Cross-iteration ordering: the first
+    # step of an iteration waits the previous step's write here, and all
+    # earlier writes were waited by their successors — so every prior
+    # write has landed before any window of the new iteration starts.
+    prev_wrote = jnp.logical_and(
+        step > 0, ((step - 1) // tiles_p) % ac < ac - 1)
+
+    @pl.when(prev_wrote)
+    def _wait_prev_write():
+        wdesc(step - 1).wait()
+
+    first_of_it = tip == 0
+
+    @pl.when(jnp.logical_or(step == 0, first_of_it))
+    def _own_window():
+        start(step % 2, step)
+
+    # one-step lookahead, only within the iteration (the next iteration's
+    # windows read the buffer this iteration is still writing)
+    @pl.when(jnp.logical_and(step + 1 < total,
+                             (step + 1) % tiles_p != 0))
+    def _ahead():
+        start((step + 1) % 2, step + 1)
+
+    wait_win(step % 2, step)
+
+    wbuf = it % 2
+    out = jnp.zeros((th, c, wp), jnp.float32)
+    # ring tiles rewrite zeros — keeps the buffer a valid warp source
+
+    def compute():
+        o = _tile_stencil_sac(
+            win2[step % 2], fxt_ref[0, 0], fyt_ref[0, 0],
+            rows0_ref[step] - fr0 + r - pad_v, bxs_ref[step],
+            k_ref[0], fin_ref[0], m0, radius=r, th=th, wh=wh, c=c,
+            w=w, wp=wp, pad_l=pad_l)
+        act_now = jnp.logical_or(it < ac - 1, act_last)
+        return jnp.where(jnp.logical_and(act_now, o < 0), 0.1 * o, o)
+
+    out = jnp.where(is_data, compute(), out)
+
+    @pl.when(it < ac - 1)
+    def _to_buf():
+        tmp[step % 2] = out.astype(tmp.dtype)
+        for p in range(2):
+            @pl.when(wbuf == p)
+            def _(p=p):
+                pltpu.make_async_copy(
+                    tmp.at[step % 2],
+                    bufs.at[p, pl.ds(tip * th, th)],
+                    wsem.at[step % 2]).start()
+
+    @pl.when(it == ac - 1)
+    def _to_out():
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    # the grid's final write has no successor to wait it
+    @pl.when(jnp.logical_and(step == total - 1, it < ac - 1))
+    def _drain():
+        wdesc(step).wait()
+
+
+def _chain_call(src, flows, ktr, fin_rows, h, w, radius, tile_rows, ac,
+                act_last, interpret):
+    """The whole IAC chain as one VMEM-resident kernel call.
+
+    src/fin_rows: (B, Hp, C, Wp); flows: (AC, B, H, W, 2); ktr:
+    (B, H, AC*3C, W).  Returns (B, Hp, C, Wp) after ``ac`` iterations.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hp, c, wp = src.shape
+    pad_v, pad_l, pad_r, wp2, bmax_x = _geometry(h, w, radius)
+    assert wp2 == wp and hp == h + 2 * pad_v
+    th = tile_rows
+    tiles = h // th
+    tiles_p = hp // th
+    pvt = pad_v // th
+    wh = th + 2
+    wrows = wh + 2 * radius + 1
+
+    # per-iteration pre-tiled flow halos + window bases (same formulas as
+    # _rows_call, with an iteration axis)
+    fr0 = jnp.clip(jnp.arange(tiles) * th - 1, 0, h - wh)
+    fxt_a, fyt_a = _tile_flow(flows, h, th)            # (AC,B,tiles,wh,W)
+    fxt = jnp.transpose(fxt_a, (1, 0, 2, 3, 4))        # (B,AC,tiles,wh,W)
+    fyt = jnp.transpose(fyt_a, (1, 0, 2, 3, 4))
+    bmax_y = pad_v - radius - 1
+    by = jnp.clip(jnp.round(jnp.mean(fyt, axis=(3, 4))), -bmax_y,
+                  bmax_y).astype(jnp.int32)                # (B, AC, tiles)
+    bx = jnp.clip(jnp.round(jnp.mean(fxt, axis=(3, 4))), -bmax_x,
+                  bmax_x).astype(jnp.int32)
+    row0 = fr0[None, None] + by - radius + pad_v
+    rows0 = jnp.zeros((b, ac, tiles_p), jnp.int32) \
+        .at[:, :, pvt : pvt + tiles].set(row0).reshape(-1)
+    bxs = jnp.zeros((b, ac, tiles_p), jnp.int32) \
+        .at[:, :, pvt : pvt + tiles].set(bx).reshape(-1)
+
+    fxt = fxt.reshape(b * ac, tiles, wh, w)
+    fyt = fyt.reshape(b * ac, tiles, wh, w)
+
+    def data_tile(tip):
+        return jnp.clip(tip - pvt, 0, tiles - 1)
+
+    kern = functools.partial(_chain_kernel, radius=radius, th=th, h=h, w=w,
+                             c=c, pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x,
+                             wp=wp, ac=ac, act_last=act_last, tiles=tiles,
+                             tiles_p=tiles_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rows0, bxs
+        grid=(b, ac, tiles_p),
+        in_specs=[
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, it, tip, *_:
+                         (bi * ac + it, data_tile(tip), 0, 0)),
+            pl.BlockSpec((1, 1, wh, w),
+                         lambda bi, it, tip, *_:
+                         (bi * ac + it, data_tile(tip), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, th, 3 * c, w),
+                         lambda bi, it, tip, *_:
+                         (bi, data_tile(tip), it, 0)),
+            pl.BlockSpec((1, th, c, wp),
+                         lambda bi, it, tip, *_: (bi, tip, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, c, wp),
+                               lambda bi, it, tip, *_: (bi, tip, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hp, c, wp), src.dtype),     # ping-pong maps
+            pltpu.VMEM((2, wrows, c, wp), src.dtype),  # window 2-slot
+            pltpu.VMEM((2, th, c, wp), src.dtype),     # write relay 2-slot
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), src.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(rows0, bxs, fxt, fyt, src, ktr, fin_rows)
+
+
 @functools.lru_cache(maxsize=None)
 def _rows_vmappable(chunk, h, w, radius, tile_rows, act, interpret):
     """custom_vmap wrapper around :func:`_rows_call`: the manual-DMA source
@@ -345,14 +604,14 @@ def _rows_vmappable(chunk, h, w, radius, tile_rows, act, interpret):
     into the kernel's own batch grid instead (ETC mode vmaps the whole
     forward over sliding windows; same pattern as ops/pallas_dcn.py)."""
 
-    def base(src, flow, ktr, fin):
-        return _rows_call(src, flow, ktr, fin, chunk, h, w, radius,
+    def base(src, fxt, fyt, ktr, fin):
+        return _rows_call(src, fxt, fyt, ktr, fin, chunk, h, w, radius,
                           tile_rows, act, interpret)
 
     wrapped = jax.custom_batching.custom_vmap(base)
 
     @wrapped.def_vmap
-    def _rule(axis_size, in_batched, src, flow, ktr, fin):  # noqa: ANN001
+    def _rule(axis_size, in_batched, src, fxt, fyt, ktr, fin):  # noqa: ANN001
         def bat(a, is_b):
             if is_b:
                 return a.reshape((-1,) + a.shape[2:])
@@ -360,7 +619,8 @@ def _rows_vmappable(chunk, h, w, radius, tile_rows, act, interpret):
                 .reshape((-1,) + a.shape[1:])
 
         out = base(*(bat(a, ib)
-                     for a, ib in zip((src, flow, ktr, fin), in_batched)))
+                     for a, ib in zip((src, fxt, fyt, ktr, fin),
+                                      in_batched)))
         return out.reshape((axis_size, -1) + out.shape[1:]), True
 
     return wrapped
@@ -405,8 +665,9 @@ def warp_sac_fused(feat, flow, k1_tap_major, feat_in, radius: int = 2,
     src = _to_rows(feat, pad_v, pad_l, pad_r)
     fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
     ktr = jnp.transpose(k1_tap_major, (0, 1, 3, 2))  # (B, H, 3C, W)
+    fxt, fyt = _tile_flow(flow, h, tile_rows)
     out = _rows_vmappable(0, h, w, radius, tile_rows, act,
-                          interpret)(src, flow, ktr, fin)
+                          interpret)(src, fxt, fyt, ktr, fin)
     return _from_rows(out, h, w, pad_v, pad_l)
 
 
@@ -441,12 +702,64 @@ def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
     ktr = (pred_k_tap_major if k_rows
            else jnp.transpose(pred_k_tap_major, (0, 1, 3, 2)))
     assert ktr.shape == (b, h, ac_num * 3 * channels, w), ktr.shape
+    # one halo gather + one x/y split for the WHOLE chain (see _tile_flow)
+    fxt_all, fyt_all = _tile_flow(offsets, h, tile_rows)
     cur = fin
     for i in range(ac_num):
         cur = _rows_vmappable(i, h, w, radius, tile_rows,
                               i < ac_num - 1 or act_last,
-                              interpret)(cur, offsets[i], ktr, fin)
+                              interpret)(cur, fxt_all[i], fyt_all[i], ktr,
+                                         fin)
     return _from_rows(cur, h, w, pad_v, pad_l)
+
+
+# scratch ceiling for the resident chain: the two whole-map buffers plus
+# window/relay/pipeline buffers must fit the 120M vmem_limit with margin
+# for the stencil's scoped temporaries and BlockSpec pipeline buffers.
+# Calibrated on hardware (round 5): f32 @480x272 (88M estimate) fails the
+# terminal compile; bf16 (44M) compiles and runs — the margin the scoped
+# temporaries + pipelines need is ~55M, so the ceiling sits at 64M
+# (bf16 480x272 in; f32 and 640x400 fall back to the per-iteration chain).
+_RESIDENT_BUDGET = 64 * 1024 * 1024
+
+
+def iac_fused_resident(feat_in, pred_k_tap_major, offsets, ac_num: int,
+                       channels: int, act_last: bool = True,
+                       radius: int = 2, tile_rows: int = 0,
+                       k_rows: bool = False, interpret: bool = False):
+    """``iac_fused`` with the whole chain in ONE VMEM-resident kernel.
+
+    Same signature and semantics as :func:`iac_fused` (kernel1-both,
+    bounded-deviation warp, storage dtype follows the inputs) but the
+    feature map ping-pongs between two whole-map VMEM buffers across the
+    ``ac_num`` iterations — HBM sees one read and one write of the map
+    instead of six of each (see ``_chain_kernel``).  Falls back to the
+    per-iteration chain when the two maps don't fit the VMEM budget
+    (e.g. f32 at 640x400).  Forward/deployment only — under autodiff use
+    ``ops.sac.iac`` routing, which pairs the per-iteration forward with
+    its custom VJP.
+    """
+    b, h, w, c = feat_in.shape
+    if c % 8:
+        raise ValueError(f"C={c} must be a multiple of 8 (sublane tiling)")
+    pad_v, pad_l, pad_r, wp, _ = _geometry(h, w, radius)
+    if not tile_rows:
+        tile_rows = _auto_tile_rows(h, pad_v)
+    hp = h + 2 * pad_v
+    itemsize = jnp.dtype(feat_in.dtype).itemsize
+    scratch = (2 * hp + 2 * (tile_rows + 2 * radius + 3) + tile_rows) \
+        * c * wp * itemsize
+    if scratch > _RESIDENT_BUDGET:
+        return iac_fused(feat_in, pred_k_tap_major, offsets, ac_num,
+                         channels, act_last, radius, tile_rows, k_rows,
+                         interpret)
+    fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
+    ktr = (pred_k_tap_major if k_rows
+           else jnp.transpose(pred_k_tap_major, (0, 1, 3, 2)))
+    assert ktr.shape == (b, h, ac_num * 3 * channels, w), ktr.shape
+    out = _chain_call(fin, offsets, ktr, fin, h, w, radius, tile_rows,
+                      ac_num, act_last, interpret)
+    return _from_rows(out, h, w, pad_v, pad_l)
 
 
 # ---------------------------------------------------------------------------
@@ -820,11 +1133,13 @@ def iac_fused_vjp(feat_in, pred_k_tap_major, offsets, g, ac_num: int,
            else jnp.transpose(pred_k_tap_major, (0, 1, 3, 2)))
 
     # forward re-run, keeping every iteration's input
+    fxt_all, fyt_all = _tile_flow(offsets, h, tile_rows)
     cur = [fin]
     for i in range(ac_num):
         cur.append(_rows_vmappable(i, h, w, radius, tile_rows,
                                    i < ac_num - 1 or act_last,
-                                   interpret)(cur[i], offsets[i], ktr, fin))
+                                   interpret)(cur[i], fxt_all[i],
+                                              fyt_all[i], ktr, fin))
 
     g_cur = _to_rows(g.astype(jnp.float32), pad_v, pad_l, pad_r)
     dfin = jnp.zeros_like(g_cur)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from .warp import flow_warp
 
-__all__ = ["sac", "iac", "set_iac_bwd"]
+__all__ = ["sac", "iac", "set_iac_bwd", "set_iac_chain"]
 
 # Backward used when warp_impl='pallas' routes through the fused IAC chain:
 # 'gather' = VJP of the exact gather-path iac at the same primals (re-runs
@@ -35,6 +35,20 @@ def set_iac_bwd(bwd: str) -> None:
     global _IAC_BWD
     assert bwd in ("gather", "fused")
     _IAC_BWD = bwd
+
+
+# Forward chain used when warp_impl='pallas': 'periter' = one fused kernel
+# per iteration (the map round-trips HBM 6x); 'resident' = the whole chain
+# in one kernel with the map ping-ponging between two VMEM buffers
+# (pallas_iac.iac_fused_resident — HBM sees 1 read + 1 write; falls back
+# to periter when the buffers don't fit, e.g. f32 at 640x400).
+_IAC_CHAIN = "periter"
+
+
+def set_iac_chain(chain: str) -> None:
+    global _IAC_CHAIN
+    assert chain in ("periter", "resident")
+    _IAC_CHAIN = chain
 
 
 def _directional_pass(x: jnp.ndarray, k: jnp.ndarray, ksize: int, axis: int,
@@ -160,11 +174,12 @@ def _iac_fused_diff(feat_in, pred_k, offsets, ac_num, channels, act_last,
     primal forward only.  Gradients are exact-path gradients (for the op
     in isolation, bit-identical to ``warp_impl='gather'``).
     """
-    from .pallas_iac import iac_fused
+    from .pallas_iac import iac_fused, iac_fused_resident
 
-    return iac_fused(feat_in, pred_k, offsets, ac_num, channels,
-                     act_last=act_last, k_rows=k_rows,
-                     interpret=jax.default_backend() == "cpu")
+    fwd = iac_fused_resident if _IAC_CHAIN == "resident" else iac_fused
+    return fwd(feat_in, pred_k, offsets, ac_num, channels,
+               act_last=act_last, k_rows=k_rows,
+               interpret=jax.default_backend() == "cpu")
 
 
 def _iac_fused_diff_fwd(feat_in, pred_k, offsets, ac_num, channels,

@@ -42,4 +42,6 @@ def _reset_global_impls():
     # NOTE: `import fcvsr_tpu.ops.sac as m` binds the re-exported sac()
     # FUNCTION (the package attribute shadows the submodule) — go through
     # importlib for the module itself.
-    importlib.import_module("fcvsr_tpu.ops.sac").set_iac_bwd("gather")
+    sac_mod = importlib.import_module("fcvsr_tpu.ops.sac")
+    sac_mod.set_iac_bwd("gather")
+    sac_mod.set_iac_chain("periter")

@@ -61,12 +61,12 @@ def _run(b=1, h=16, w=40, c=16, cout=16, bias=False, act=False,
     assert err < 0.15, err
 
 
-@pytest.mark.parametrize("mode", ["cat3", "cat9", "mstack"])
+@pytest.mark.parametrize("mode", ["cat3", "cat9", "mstack", "mstack2"])
 def test_basic(mode):
     _run(mode=mode)
 
 
-@pytest.mark.parametrize("mode", ["cat3", "cat9", "mstack"])
+@pytest.mark.parametrize("mode", ["cat3", "cat9", "mstack", "mstack2"])
 def test_bias_and_act(mode):
     _run(bias=True, act=True, mode=mode)
 

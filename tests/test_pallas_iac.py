@@ -75,6 +75,69 @@ def test_iac_fused_chain_matches_xla():
                                rtol=2e-5, atol=1e-3)
 
 
+def test_iac_fused_resident_matches_per_iteration():
+    """The VMEM-resident whole-chain kernel == the per-iteration chain
+    (same math, same storage dtype at every handoff — the only change is
+    where the intermediate map lives), f32 and bf16, batch 2, large+small
+    flows."""
+    from fcvsr_tpu.ops.pallas_iac import iac_fused_resident
+
+    b, h, w, c, ac = 2, 16, 24, 16, 3
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(RNG.standard_normal((b, h, w, ac * c * 3)),
+                         jnp.float32)
+    offsets = jnp.asarray(RNG.uniform(-1.2, 1.2, (ac, b, h, w, 2)),
+                          jnp.float32)
+    # one iteration with a large smooth displacement (exercises per-tile
+    # dynamic bases INTO the VMEM buffer, not just near-zero flow)
+    offsets = offsets.at[1].add(jnp.asarray([6.4, -4.7], jnp.float32))
+    tap = jnp.concatenate(
+        [_tap_major(pred_k[..., i * c * 3 : (i + 1) * c * 3], c)
+         for i in range(ac)], axis=-1)
+
+    ref = iac_fused(feat_in, tap, offsets, ac, c, radius=2, tile_rows=8,
+                    interpret=True)
+    got = iac_fused_resident(feat_in, tap, offsets, ac, c, radius=2,
+                             tile_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-4)
+
+    ref16 = iac_fused(feat_in.astype(jnp.bfloat16),
+                      tap.astype(jnp.bfloat16), offsets, ac, c, radius=2,
+                      tile_rows=8, interpret=True)
+    got16 = iac_fused_resident(feat_in.astype(jnp.bfloat16),
+                               tap.astype(jnp.bfloat16), offsets, ac, c,
+                               radius=2, tile_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(ref16, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_iac_fused_resident_budget_fallback():
+    """Over-budget shapes transparently fall back to the per-iteration
+    chain (same public semantics)."""
+    import fcvsr_tpu.ops.pallas_iac as pi
+
+    b, h, w, c, ac = 1, 16, 24, 8, 2
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pred_k = jnp.asarray(RNG.standard_normal((b, h, w, ac * c * 3)),
+                         jnp.float32)
+    offsets = jnp.asarray(RNG.uniform(-1, 1, (ac, b, h, w, 2)), jnp.float32)
+    tap = jnp.concatenate(
+        [_tap_major(pred_k[..., i * c * 3 : (i + 1) * c * 3], c)
+         for i in range(ac)], axis=-1)
+    ref = pi.iac_fused(feat_in, tap, offsets, ac, c, radius=2, tile_rows=8,
+                       interpret=True)
+    old = pi._RESIDENT_BUDGET
+    try:
+        pi._RESIDENT_BUDGET = 1  # force the fallback branch
+        got = pi.iac_fused_resident(feat_in, tap, offsets, ac, c, radius=2,
+                                    tile_rows=8, interpret=True)
+    finally:
+        pi._RESIDENT_BUDGET = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
 def test_warp_sac_fused_batch2():
     b, h, w, c = 2, 16, 16, 8
     feat = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)

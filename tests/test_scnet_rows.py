@@ -50,6 +50,24 @@ def test_scnet_rows_forward_golden(b, h, w):
         assert np.abs(g - r).max() < 5e-2 * scale, np.abs(g - r).max() / scale
 
 
+def test_scnet_rows_mstack2_matches_cat3():
+    """The banded pair-row matmul mode is the same function as cat3 (fp
+    reassociation only — same taps, different accumulation grouping)."""
+    nf, groups = 16, 2
+    xs = _pyramid(1, 24, 40, nf)
+    mod, params = _init(nf, groups, xs)
+    ref = scnet_rows_apply(params, xs, num_groups=groups, tile_rows=8,
+                           interpret=True)
+    got = scnet_rows_apply(params, xs, num_groups=groups, tile_rows=8,
+                           interpret=True, mode="mstack2")
+    for r, g in zip(ref, got):
+        # the banded matmul reduces all 12 K blocks in one pass vs cat3's
+        # per-dy grouping: pure fp reassociation, which walks through the
+        # deep group chain (measured max 7.7e-5 abs on ~2-scale outputs)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_scnet_rows_odd_sizes():
     # L3 height 3: boundary tiles mix data and masked rows; odd widths
     nf, groups = 16, 1
