@@ -52,6 +52,11 @@ def main():
     sac_mod = importlib.import_module("fcvsr_tpu.ops.sac")
 
     impl, bwd = {"gather": ("gather", "gather"),
+                 # bf16-storage model flags under training (VERDICT r4 #7
+                 # bf16 sweep: 'train-step compute dtype' row) — the same
+                 # deployment dtypes the --fast inference path uses, all
+                 # differentiable (flax dtype casts + rows_bf16 custom_vjp)
+                 "gather_bf16": ("gather", "gather"),
                  "pallas_gb": ("pallas", "gather"),
                  "pallas_fb": ("pallas", "fused"),
                  "golden": ("pallas", "fused")}[args.op]
@@ -64,7 +69,12 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (b, 7, 1, h, w)), jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 1, (b, 1, 4 * h, 4 * w)), jnp.float32)
 
-    model = FCVSRNet.small(in_channels=1, warp_impl=impl)
+    if args.op == "gather_bf16":
+        model = FCVSRNet.small(in_channels=1, warp_impl=impl,
+                               scnet_impl="rows_bf16", head_dtype="bf16",
+                               mffr_dtype="bf16")
+    else:
+        model = FCVSRNet.small(in_channels=1, warp_impl=impl)
     state = create_train_state(model, jax.random.PRNGKey(0), x,
                                cosine_restart(2e-4, [600000], [1.0]))
 

@@ -229,11 +229,16 @@ class MGAA(nn.Module):
                         k1_only=self.kernel1_both, warp_impl=self.warp_impl,
                         k_tap_major=self.kernel1_both, k_rows=k_rows)
 
-        out = Conv2d(d, 3, use_bias=False, name="conv3")(
+        # conv3 follows the head dtype: with a bf16 IAC chain the aligned
+        # outputs arrive bf16, and an f32 conv3 forces two (H, W, 64)
+        # bf16->f32 relayout-cast fusions first (measured 1.23 ms/call on
+        # the round-5 device profile); matmuls are single-pass bf16 either
+        # way, so dtype=hd only removes the casts (bounded-dev contract).
+        out = Conv2d(d, 3, use_bias=False, dtype=hd, name="conv3")(
             (aligned_f, aligned_b) if split
             else jnp.concatenate([aligned_f, aligned_b], -1)
         )
-        return out + x2
+        return out.astype(x2.dtype) + x2
 
 
 class MFFR(nn.Module):
