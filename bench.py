@@ -141,7 +141,8 @@ def make(name, **kw):
         return FCVSRNet(in_channels=1, warp_impl="pallas", batch_mgaa=True,
                         scnet_impl="rows_bf16",
                         iac_dtype="bf16", tail_impl="folded",
-                        head_dtype="bf16", mffr_dtype="bf16", **kw)
+                        head_dtype="bf16", mffr_dtype="bf16",
+                        k_fused=True, **kw)
     if name == "fcvsr_s":
         return FCVSRNet.small(in_channels=1, **kw)
     if name == "fcvsr_s_train_fast":
@@ -154,7 +155,8 @@ def make(name, **kw):
         return FCVSRNet.small(in_channels=1, warp_impl="pallas",
                               batch_mgaa=True, scnet_impl="rows_bf16",
                               iac_dtype="bf16", tail_impl="folded",
-                              head_dtype="bf16", mffr_dtype="bf16", **kw)
+                              head_dtype="bf16", mffr_dtype="bf16",
+                              k_fused=True, **kw)
     from fcvsr_tpu.ops.dcn import set_dcn_impl
     set_dcn_impl("pallas")  # fused DCN (ops/pallas_dcn.py) for the zoo
     if name == "basicvsr_pp_pallas":
@@ -337,8 +339,12 @@ def main():
         bank()
         sys.exit(0)
 
-    signal.signal(signal.SIGTERM, on_term)
-    signal.signal(signal.SIGINT, on_term)
+    # handlers are RESTORED on exit (finally below): the harness tests run
+    # main() in-process, and a leaked handler swallows the host process's
+    # own SIGTERM later (observed: a pytest-wide timeout TERM landing in an
+    # unrelated test as SystemExit(0) mid-compile)
+    prev_term = signal.signal(signal.SIGTERM, on_term)
+    prev_int = signal.signal(signal.SIGINT, on_term)
 
     def remaining():
         return args.budget - (time.perf_counter() - t_start)
@@ -366,46 +372,54 @@ def main():
     bank()
 
     only = [s for s in args.only.split(",") if s]
-    for name, kind, model_name, h, w, batch, tmo in ATTEMPTS:
-        if only and name not in only:
-            continue
-        tmo_eff = min(tmo * slow, max(remaining() - 60, 0))
-        # stop only when the BUDGET is what makes the rung unrunnable
-        # (a healthy rung needs its own timeout, or at least 300 s)
-        if tmo_eff < min(300, tmo * slow):
-            state["notes"]["budget_stop"] = name
-            break
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", worker, kind, model_name, str(h),
-                 str(w), str(batch)],
-                capture_output=True, text=True, timeout=tmo_eff, cwd=repo)
-            got = False
-            for line in proc.stdout.splitlines():
-                if line.startswith(("FPS_RESULT", "MS_RESULT")):
-                    state["ladder"][name] = round(float(line.split()[1]), 3)
-                    got = True
-                    break
-            if not got:
-                tailerr = (proc.stderr.strip().splitlines() or ["unknown"])[-1]
-                state["notes"].setdefault("rung_errors", {})[name] = \
-                    tailerr[:200]
-        except subprocess.TimeoutExpired:
-            state["notes"].setdefault("rung_errors", {})[name] = \
-                f"timeout {int(tmo_eff)}s"
-        bank()
-        if name not in state["ladder"]:
-            # one failed rung must not burn the rest of the budget on a
-            # wedged tunnel: quick dot re-probe decides skip vs stop
-            if remaining() < 360:
+    try:
+        for name, kind, model_name, h, w, batch, tmo in ATTEMPTS:
+            if only and name not in only:
+                continue
+            tmo_eff = min(tmo * slow, max(remaining() - 60, 0))
+            # stop only when the BUDGET is what makes the rung unrunnable
+            # (a healthy rung needs its own timeout, or at least 300 s)
+            if tmo_eff < min(300, tmo * slow):
                 state["notes"]["budget_stop"] = name
                 break
-            ok, _ = dot_probe(min(300.0 * slow, remaining() - 60))
-            if not ok:
-                state["notes"]["tunnel"] = f"wedged after {name}; stopping"
-                break
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", worker, kind, model_name, str(h),
+                     str(w), str(batch)],
+                    capture_output=True, text=True, timeout=tmo_eff,
+                    cwd=repo)
+                got = False
+                for line in proc.stdout.splitlines():
+                    if line.startswith(("FPS_RESULT", "MS_RESULT")):
+                        state["ladder"][name] = \
+                            round(float(line.split()[1]), 3)
+                        got = True
+                        break
+                if not got:
+                    tailerr = (proc.stderr.strip().splitlines()
+                               or ["unknown"])[-1]
+                    state["notes"].setdefault("rung_errors", {})[name] = \
+                        tailerr[:200]
+            except subprocess.TimeoutExpired:
+                state["notes"].setdefault("rung_errors", {})[name] = \
+                    f"timeout {int(tmo_eff)}s"
+            bank()
+            if name not in state["ladder"]:
+                # one failed rung must not burn the rest of the budget on
+                # a wedged tunnel: quick dot re-probe decides skip vs stop
+                if remaining() < 360:
+                    state["notes"]["budget_stop"] = name
+                    break
+                ok, _ = dot_probe(min(300.0 * slow, remaining() - 60))
+                if not ok:
+                    state["notes"]["tunnel"] = \
+                        f"wedged after {name}; stopping"
+                    break
 
-    bank()
+        bank()
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
 
 
 if __name__ == "__main__":

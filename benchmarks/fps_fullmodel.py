@@ -50,6 +50,9 @@ def main():
                     choices=["periter", "resident"],
                     help="resident = whole-chain VMEM kernel "
                          "(ops.sac.set_iac_chain)")
+    ap.add_argument("--kf", action="store_true",
+                    help="fused kernel prediction (MGAA k_fused — the SAC "
+                         "kernels are computed inside the IAC kernel)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--delta", action="store_true",
                     help="compare output vs the rows/f32 variant")
@@ -73,7 +76,8 @@ def main():
                    batch_mgaa=not args.no_batch_mgaa,
                    scnet_impl=scnet_impl, tail_dtype=tail_dtype,
                    iac_dtype=iac_dtype, tail_impl=tail_impl,
-                   head_dtype=head_dtype, mffr_dtype=mffr_dtype)
+                   head_dtype=head_dtype, mffr_dtype=mffr_dtype,
+                   k_fused=args.kf)
 
     from fcvsr_tpu.ops.sac import set_iac_chain
 
@@ -84,7 +88,7 @@ def main():
     out = {"model": args.model, "warp": args.warp, "scnet": args.scnet,
            "tail": args.tail, "iac": args.iac, "tail_impl": args.tail_impl,
            "head": args.head, "mffr": args.mffr, "shape": [args.h, args.w],
-           "iac_chain": args.iac_chain}
+           "iac_chain": args.iac_chain, "kf": args.kf}
 
     if args.delta:
         # jit both applies: eager through the axon tunnel is ~0.3s/dispatch

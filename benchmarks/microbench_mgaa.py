@@ -154,6 +154,28 @@ def main():
     bench["iac6_res_bf16"] = functools.partial(setup_iac6_resident,
                                                jnp.bfloat16)
 
+    # fused kernel prediction (round 5): k computed in-kernel from f0 and
+    # F1's weight slice — replaces the 50 MB/iter predicted-kernel stream
+    # with the 17 MB f0 stream (and kills F1's 300 MB/chain emission,
+    # which is OUTSIDE this timed region — the full-model A/B sees it)
+    def setup_iac6_kf(dtype=jnp.float32):
+        from fcvsr_tpu.ops.pallas_iac import iac_fused_kf
+
+        f0 = arr(1, h, w, d)
+        wsel = jnp.asarray(rng.uniform(-0.2, 0.2, (d, ac * 3 * d)),
+                           jnp.float32)
+        bsel = jnp.asarray(rng.uniform(-0.1, 0.1, (ac * 3 * d,)),
+                           jnp.float32)
+
+        def fn(v, f, of):
+            return iac_fused_kf(v.astype(dtype), f.astype(dtype), wsel,
+                                bsel, of, ac, d).astype(jnp.float32)
+
+        return fn, feat, (f0, offs)
+
+    bench["iac6_kf"] = setup_iac6_kf
+    bench["iac6_kf_bf16"] = functools.partial(setup_iac6_kf, jnp.bfloat16)
+
     # ---- kernel predictor (KP -> F0 -> F1 with out_select) ----
     class Pred(nn.Module):
         @nn.compact

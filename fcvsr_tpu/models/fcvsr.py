@@ -84,6 +84,16 @@ class MGAA(nn.Module):
     # opt-in for single-device inference, gated by an isfinite probe
     # (bench.py) with automatic fallback.
     batch_fb: bool = False
+    # Fused kernel prediction (round 5): never materialize F1's predicted
+    # kernels (the chain's dominant HBM stream, ~300 MB/chain bf16 at
+    # 480x272 — written by F1 and re-read every iteration); instead F1's
+    # selected weight columns ride into the fused IAC kernel and the
+    # per-pixel kernels are one thin in-kernel matmul from f0
+    # (ops/pallas_iac.py::iac_fused_kf).  Same function up to matmul
+    # accumulation order.  Inference-only (deployment flag): under
+    # autodiff keep it False — the custom-VJP training routings consume
+    # the materialized tensor.
+    k_fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -192,6 +202,7 @@ class MGAA(nn.Module):
         f_kp = Conv2d(d, 3, name="conv_KP")(x2)
         f0 = Conv2d(d, 3, name="F0")(f_kp)
         half = d * self.ac_ks
+        k_parts = None
         if self.kernel1_both:
             # kernel1 halves only (the kernel2 outputs are dead under the
             # reference bug), emitted TAP-MAJOR per iteration chunk so SAC's
@@ -208,10 +219,25 @@ class MGAA(nn.Module):
             # bf16 IAC storage: F1 emits bf16 rows kernels directly (the
             # ~600MB/chain tensor is written AND re-read at half width)
             bf16 = split and self.iac_dtype == "bf16"
-            pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1",
-                            out_select=sel,
-                            dtype=jnp.bfloat16 if bf16 else None,
-                            out_layout="rows" if k_rows else "nhwc")(f0)
+            if self.k_fused and split and self.warp_impl == "pallas" \
+                    and not self.is_initializing():
+                # fused kernel prediction (round 5): never materialize
+                # F1's output — its selected weight columns ride into the
+                # IAC kernel and the per-pixel kernels are computed there
+                # from f0 (ops/pallas_iac.py::iac_fused_kf).  F1's params
+                # exist from init (the else-branch call) and stay
+                # checkpoint-compatible.
+                p = self.variables["params"]["F1"]["Conv_0"]
+                sel_ix = jnp.asarray(sel)
+                k_parts = (f0, jnp.take(p["kernel"][0, 0], sel_ix, axis=1),
+                           jnp.take(p["bias"], sel_ix))
+                pred_k = None
+                k_rows = False
+            else:
+                pred_k = Conv2d(self.ac_num * half * 2, 1, name="F1",
+                                out_select=sel,
+                                dtype=jnp.bfloat16 if bf16 else None,
+                                out_layout="rows" if k_rows else "nhwc")(f0)
         else:
             k_rows = False
             bf16 = False
@@ -223,11 +249,13 @@ class MGAA(nn.Module):
         aligned_f = iac(x1s, pred_k, offsets_f, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
                         k1_only=self.kernel1_both, warp_impl=self.warp_impl,
-                        k_tap_major=self.kernel1_both, k_rows=k_rows)
+                        k_tap_major=self.kernel1_both, k_rows=k_rows,
+                        k_parts=k_parts)
         aligned_b = iac(x3s, pred_k, offsets_b, self.ac_num, d, self.ac_ks,
                         kernel1_both=self.kernel1_both,
                         k1_only=self.kernel1_both, warp_impl=self.warp_impl,
-                        k_tap_major=self.kernel1_both, k_rows=k_rows)
+                        k_tap_major=self.kernel1_both, k_rows=k_rows,
+                        k_parts=k_parts)
 
         # conv3 follows the head dtype: with a bf16 IAC chain the aligned
         # outputs arrive bf16, and an f32 conv3 forces two (H, W, 64)
@@ -323,6 +351,9 @@ class FCVSRNet(nn.Module):
     # runtime returned non-finite outputs at full shape (round 2) —
     # bench.py probes isfinite on-device and falls back automatically.
     batch_mgaa: bool = False
+    # fused kernel prediction in the IAC chain (see MGAA.k_fused) —
+    # deployment/inference flag, not for training
+    k_fused: bool = False
 
     @classmethod
     def small(cls, in_channels: int = 1, **kw):
@@ -341,7 +372,7 @@ class FCVSRNet(nn.Module):
         mgaa_cls = nn.remat(MGAA) if self.use_remat else MGAA
         mgaa = mgaa_cls(dim=nf, ac_ks=self.ac_ks, ac_num=self.ac_num,
                         warp_impl=self.warp_impl, batch_fb=self.batch_mgaa,
-                        iac_dtype=self.iac_dtype,
+                        iac_dtype=self.iac_dtype, k_fused=self.k_fused,
                         head_dtype=self.head_dtype, name="MGAA")
 
         feat = Conv2d(t * nf, 3, name="feat_extract")(feats)

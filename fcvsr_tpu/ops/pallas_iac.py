@@ -64,8 +64,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["iac_fused", "iac_fused_resident", "warp_sac_fused",
-           "iac_fused_vjp"]
+__all__ = ["iac_fused", "iac_fused_kf", "iac_fused_resident",
+           "warp_sac_fused", "iac_fused_vjp"]
 
 
 def _geometry(h, w, radius):
@@ -95,12 +95,31 @@ def _from_rows(rows, h, w, pad_v, pad_l):
         rows[:, pad_v : pad_v + h, :, pad_l : pad_l + w], (0, 1, 3, 2))
 
 
-def _kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref,
-            out_ref, win2, sems, *, radius, th, h, w, c, pad_v, pad_l,
-            bmax_x, wp, act, tiles, tiles_p):
+def _kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref, *rest,
+            radius, th, h, w, c, pad_v, pad_l, bmax_x, wp, act, tiles,
+            tiles_p, kf=False):
+    """One fused IAC iteration per (batch, padded-tile) grid step.
+
+    ``kf`` (fused kernel prediction, round 5): ``k_ref`` is the PREDICTOR
+    FEATURE block f0 (1, th, c0, w) instead of the predicted kernels —
+    two extra inputs follow it (Wsel^T (3c, c0) per-iteration slice and
+    its bias (3c, 1)) and the per-pixel SAC kernels are computed
+    in-kernel as one thin matmul per row: ``k_slab[r] = Wsel^T @ f0[r]
+    + b``.  This replaces the chain's dominant HBM stream (the
+    predicted-kernel tensor, ~50 MB/iteration bf16 at 480x272) with the
+    3x-smaller f0 stream and removes F1's 300 MB/chain emission
+    entirely; the matmul itself is ~0.1 GFLOP/tile on an otherwise
+    MXU-idle kernel.
+    """
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if kf:
+        kw_ref, kb_ref, fin_ref, out_ref, win2, sems = rest
+    else:
+        fin_ref, out_ref, win2, sems = rest
+        kw_ref = kb_ref = None
 
     r = radius
     wh = th + 2                       # warped rows incl. SAC halo
@@ -158,10 +177,26 @@ def _kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref, fin_ref,
             # ordinary (1, 1, wh, w) blocks, one per (batch, tile).
             # rows0 = fr0 + base_y - r + pad_v, inverted in the helper so
             # the stencil weights use exactly the DMA'd window's base.
+            if kf:
+                # fused kernel prediction: k_slab[r] = Wsel^T @ f0[r] + b
+                # matmul dtype follows the chain storage dtype: bf16
+                # deployment runs single-pass bf16 (like the XLA conv it
+                # replaces); the f32 path keeps true-f32 operands so the
+                # exact-vs-fused comparison stays tight
+                f0 = k_ref[0]                              # (th, c0, w)
+                wk = kw_ref[0].astype(f0.dtype)            # (3c, c0)
+                rows_k = [jax.lax.dot_general(
+                    wk, f0[rr],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + kb_ref[0]
+                    for rr in range(th)]
+                k_slab = jnp.stack(rows_k)                 # (th, 3c, w) f32
+            else:
+                k_slab = k_ref[0]
             out = _tile_stencil_sac(
                 win2[step % 2], fxt_ref[0, 0], fyt_ref[0, 0],
                 rows0_ref[step] - fr0 + r - pad_v, bxs_ref[step],
-                k_ref[0], fin_ref[0], m0, radius=r, th=th, wh=wh, c=c,
+                k_slab, fin_ref[0], m0, radius=r, th=th, wh=wh, c=c,
                 w=w, wp=wp, pad_l=pad_l)
             if act:
                 out = jnp.where(out >= 0, out, 0.1 * out)
@@ -283,13 +318,17 @@ def _tile_flow(flow, h, tile_rows):
     jax.jit, static_argnames=("chunk", "h", "w", "radius", "tile_rows",
                               "act", "interpret"))
 def _rows_call(src, fxt, fyt, ktr, fin_rows, chunk, h, w, radius,
-               tile_rows, act, interpret):
+               tile_rows, act, interpret, kparts=None):
     """One fused iteration, rows layout in -> rows layout out.
 
     src/fin_rows: (B, Hp, C, Wp); fxt/fyt: pre-tiled flow halos
     (B, tiles, wh, W) from :func:`_tile_flow`; ktr: rows-transposed
     tap-major kernels (B, H, AC*3C, W) — ``chunk`` selects the iteration's
     3C-channel block inside the BlockSpec (no per-iteration slicing copy).
+
+    ``kparts``: fused kernel prediction — (f0_rows (B, H, C0, W),
+    wsel_t (AC, 3C, C0), bsel (AC, 3C, 1)); ``ktr`` is ignored and the
+    SAC kernels are computed in-kernel (see ``_kernel`` kf notes).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -326,7 +365,23 @@ def _rows_call(src, fxt, fyt, ktr, fin_rows, chunk, h, w, radius,
     wrows = wh + 2 * radius + 1
     kern = functools.partial(_kernel, radius=radius, th=th, h=h, w=w, c=c,
                              pad_v=pad_v, pad_l=pad_l, bmax_x=bmax_x, wp=wp,
-                             act=act, tiles=tiles, tiles_p=tiles_p)
+                             act=act, tiles=tiles, tiles_p=tiles_p,
+                             kf=kparts is not None)
+    if kparts is None:
+        k_specs = [pl.BlockSpec(
+            (1, th, 3 * c, w),
+            lambda bi, tip, *_: (bi, data_tile(tip), chunk, 0))]
+        k_args = [ktr]
+    else:
+        f0_rows, wsel_t, bsel = kparts
+        c0 = f0_rows.shape[2]
+        k_specs = [
+            pl.BlockSpec((1, th, c0, w),
+                         lambda bi, tip, *_: (bi, data_tile(tip), 0, 0)),
+            pl.BlockSpec((1, 3 * c, c0), lambda bi, tip, *_: (chunk, 0, 0)),
+            pl.BlockSpec((1, 3 * c, 1), lambda bi, tip, *_: (chunk, 0, 0)),
+        ]
+        k_args = [f0_rows, wsel_t, bsel]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # rows0, bxs
         grid=(b, tiles_p),
@@ -339,8 +394,7 @@ def _rows_call(src, fxt, fyt, ktr, fin_rows, chunk, h, w, radius,
             # input small enough to be VMEM-promoted makes the dynamic
             # slices illegal — VMEM slices must be tile-aligned).
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, th, 3 * c, w),
-                         lambda bi, tip, *_: (bi, data_tile(tip), chunk, 0)),
+            *k_specs,
             pl.BlockSpec((1, th, c, wp), lambda bi, tip, *_: (bi, tip, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, th, c, wp),
@@ -361,7 +415,7 @@ def _rows_call(src, fxt, fyt, ktr, fin_rows, chunk, h, w, radius,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(rows0, bxs, fxt, fyt, src, ktr, fin_rows)
+    )(rows0, bxs, fxt, fyt, src, *k_args, fin_rows)
 
 
 def _chain_kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref,
@@ -710,6 +764,49 @@ def iac_fused(feat_in, pred_k_tap_major, offsets, ac_num: int, channels: int,
                               i < ac_num - 1 or act_last,
                               interpret)(cur, fxt_all[i], fyt_all[i], ktr,
                                          fin)
+    return _from_rows(cur, h, w, pad_v, pad_l)
+
+
+def iac_fused_kf(feat_in, f0, wsel, bsel, offsets, ac_num: int,
+                 channels: int, act_last: bool = True, radius: int = 2,
+                 tile_rows: int = 0, interpret: bool = False):
+    """``iac_fused`` with FUSED KERNEL PREDICTION (round 5).
+
+    Instead of materializing F1's predicted-kernel tensor (the chain's
+    dominant HBM stream: AC*3C channels at full resolution, ~300 MB/chain
+    bf16 at 480x272 — written once by F1 and re-read once per iteration),
+    the kernel computes each tile's SAC kernels in-kernel from the
+    predictor feature ``f0`` and F1's selected weight slice:
+
+        k = Wsel^T @ f0 + b      (per pixel; Wsel = F1.kernel[0,0][:, sel])
+
+    f0: (B, H, W, C0) (the F0 output); wsel: (C0, AC*3C) — F1's kernel
+    columns in the tap-major ``sel`` order; bsel: (AC*3C,).  Exact same
+    function as F1-then-iac_fused up to matmul accumulation order (the
+    in-kernel matmul is single-pass bf16 with f32 accumulate, like the
+    XLA conv it replaces).  Inference-only: under autodiff use the
+    materialized-kernel routing in ``ops.sac``.
+    """
+    b, h, w, c = feat_in.shape
+    if c % 8:
+        raise ValueError(f"C={c} must be a multiple of 8 (sublane tiling)")
+    pad_v, pad_l, pad_r, wp, _ = _geometry(h, w, radius)
+    if not tile_rows:
+        tile_rows = _auto_tile_rows(h, pad_v)
+    c0 = f0.shape[-1]
+    assert wsel.shape == (c0, ac_num * 3 * channels), wsel.shape
+    fin = _to_rows(feat_in, pad_v, pad_l, pad_r)
+    f0_rows = jnp.transpose(f0, (0, 1, 3, 2)).astype(feat_in.dtype)
+    wsel_t = jnp.transpose(
+        wsel.reshape(c0, ac_num, 3 * channels), (1, 2, 0)) \
+        .astype(feat_in.dtype)                       # (AC, 3C, C0)
+    bsel_t = bsel.reshape(ac_num, 3 * channels, 1).astype(jnp.float32)
+    fxt_all, fyt_all = _tile_flow(offsets, h, tile_rows)
+    cur = fin
+    for i in range(ac_num):
+        cur = _rows_call(cur, fxt_all[i], fyt_all[i], None, fin, i, h, w,
+                         radius, tile_rows, i < ac_num - 1 or act_last,
+                         interpret, kparts=(f0_rows, wsel_t, bsel_t))
     return _from_rows(cur, h, w, pad_v, pad_l)
 
 

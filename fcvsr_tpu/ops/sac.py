@@ -107,6 +107,7 @@ def iac(
     warp_impl: str = "gather",
     k_tap_major: bool = False,
     k_rows: bool = False,
+    k_parts=None,
 ) -> jnp.ndarray:
     """Iterative adaptive convolution (CVSR_freq.py:1230-1250).
 
@@ -130,6 +131,27 @@ def iac(
     """
     if k1_only:
         assert kernel1_both, "k1_only pred_k requires the kernel1-both path"
+    if k_parts is not None:
+        # fused kernel prediction (round 5): pred_k is None and the SAC
+        # kernels come from (f0, wsel, bsel).  On the pallas path they are
+        # computed IN-KERNEL (pallas_iac.iac_fused_kf — removes the
+        # predicted-kernel tensor, the chain's dominant HBM stream);
+        # everywhere else (exact path, unsupported configs) they are
+        # materialized here and the call proceeds unchanged.
+        assert pred_k is None and kernel1_both and k1_only and k_tap_major
+        f0, wsel, bsel = k_parts
+        b, h, w, _ = feat_in.shape
+        if warp_impl == "pallas" and h % 8 == 0 and channels % 8 == 0 \
+                and ksize == 3:
+            from .pallas_iac import iac_fused_kf
+
+            return iac_fused_kf(feat_in, f0, wsel, bsel, offsets, ac_num,
+                                channels, act_last=act_last,
+                                interpret=jax.default_backend() == "cpu")
+        pred_k = (jnp.einsum("bhwc,ck->bhwk", f0.astype(jnp.float32),
+                             wsel.astype(jnp.float32))
+                  + bsel.astype(jnp.float32)).astype(feat_in.dtype)
+        k_rows = False
     if warp_impl == "pallas":
         b, h, w, _ = feat_in.shape
         if kernel1_both and k1_only and k_tap_major and h % 8 == 0 \

@@ -97,6 +97,22 @@ def test_headline_rung_updates_banked_file(monkeypatch, capsys, tmp_path):
     assert banked["all"][headline] == 12.5
 
 
+def test_signal_handlers_restored(monkeypatch, capsys, tmp_path):
+    """main() must not leak its SIGTERM/SIGINT handlers into the host
+    process: the harness tests run it in-process, and a leaked handler
+    swallows the host's own SIGTERM later (observed as a pytest-wide
+    timeout TERM surfacing as SystemExit(0) inside an unrelated test)."""
+    bench = _load_bench()
+    before_term = signal.getsignal(signal.SIGTERM)
+    before_int = signal.getsignal(signal.SIGINT)
+    worker = "import sys\nprint('FPS_RESULT', 1.0, flush=True)\n"
+    _run_main(bench, monkeypatch, capsys,
+              [("rung_a", "fps", "a", 8, 8, 1, 60)], worker,
+              outdir=tmp_path)
+    assert signal.getsignal(signal.SIGTERM) is before_term
+    assert signal.getsignal(signal.SIGINT) is before_int
+
+
 def test_budget_stops_launching(monkeypatch, capsys, tmp_path):
     bench = _load_bench()
     worker = "import sys\nprint('FPS_RESULT', 1.0, flush=True)\n"

@@ -113,6 +113,61 @@ def test_iac_fused_resident_matches_per_iteration():
                                rtol=1e-2, atol=1e-2)
 
 
+def test_iac_fused_kf_matches_materialized():
+    """Fused kernel prediction (k computed in-kernel from f0 and F1's
+    selected weight columns) == materializing pred_k then running the
+    fused chain — the only difference is the k matmul's accumulation
+    grouping, f32 and bf16 storage."""
+    from fcvsr_tpu.ops.pallas_iac import iac_fused, iac_fused_kf
+
+    b, h, w, c, ac, c0 = 1, 16, 24, 16, 3, 16
+    feat_in = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    f0 = jnp.asarray(RNG.standard_normal((b, h, w, c0)), jnp.float32)
+    wsel = jnp.asarray(0.3 * RNG.standard_normal((c0, ac * 3 * c)),
+                       jnp.float32)
+    bsel = jnp.asarray(0.1 * RNG.standard_normal((ac * 3 * c,)), jnp.float32)
+    offsets = jnp.asarray(RNG.uniform(-1.2, 1.2, (ac, b, h, w, 2)),
+                          jnp.float32)
+    pred_k = jnp.einsum("bhwc,ck->bhwk", f0, wsel) + bsel
+
+    ref = iac_fused(feat_in, pred_k, offsets, ac, c, radius=2, tile_rows=8,
+                    interpret=True)
+    got = iac_fused_kf(feat_in, f0, wsel, bsel, offsets, ac, c, radius=2,
+                       tile_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # the ops.sac routing: k_parts with pallas == k_parts on the exact
+    # gather path (bounded deviation, like every fused-vs-gather pair)
+    got_sac = iac(feat_in, None, offsets, ac, c, 3, kernel1_both=True,
+                  k1_only=True, warp_impl="pallas", k_tap_major=True,
+                  k_parts=(f0, wsel, bsel))
+    exact = iac(feat_in, None, offsets, ac, c, 3, kernel1_both=True,
+                k1_only=True, warp_impl="gather", k_tap_major=True,
+                k_parts=(f0, wsel, bsel))
+    np.testing.assert_allclose(np.asarray(got_sac), np.asarray(exact),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_mgaa_k_fused_matches_default():
+    """MGAA(k_fused=True) == MGAA() on the pallas path (same params; the
+    F1 conv is replaced by the in-kernel matmul)."""
+    import dataclasses
+
+    from fcvsr_tpu.models.fcvsr import MGAA
+
+    d = 16
+    mgaa = MGAA(dim=d, ac_ks=3, ac_num=2, warp_impl="pallas")
+    x = jnp.asarray(RNG.standard_normal((1, 16, 24, 3 * d)), jnp.float32)
+    params = mgaa.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(mgaa.apply(params, x))
+    got = np.asarray(dataclasses.replace(mgaa, k_fused=True)
+                     .apply(params, x))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 2e-4 * scale, \
+        np.abs(got - ref).max() / scale
+
+
 def test_iac_fused_resident_budget_fallback():
     """Over-budget shapes transparently fall back to the per-iteration
     chain (same public semantics)."""
