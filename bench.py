@@ -296,14 +296,17 @@ def main():
             out["baseline_incomparable"] = True
             # point the reader at the last committed full-ladder capture so
             # a timed-out run still references the real deployment numbers
-            try:
-                prior = json.load(open(os.path.join(repo,
-                                                    "BENCH_BANKED.json")))
-                out["banked_prior"] = {k: prior.get(k) for k in
-                                       ("metric", "value", "unit",
-                                        "vs_baseline", "all", "when")}
-            except Exception:
-                pass
+            # (prefer a fresher capture in the output dir over the repo copy)
+            for d in (outdir, repo):
+                try:
+                    prior = json.load(open(os.path.join(
+                        d, "BENCH_BANKED.json")))
+                    out["banked_prior"] = {k: prior.get(k) for k in
+                                           ("metric", "value", "unit",
+                                            "vs_baseline", "all", "when")}
+                    break
+                except Exception:
+                    pass
         out.update(state["notes"])
         probe_path = os.path.join(repo, "TPU_PROBE.json")
         if os.path.exists(probe_path):
@@ -322,12 +325,16 @@ def main():
             pass
         if state["ladder"].get(HEADLINE_PREF[0]):
             # a real headline capture: refresh the committed-bank file so
-            # future timed-out runs can cite it as banked_prior
+            # future timed-out runs can cite it as banked_prior (stamped —
+            # the 'when' provenance is what banked_prior surfaces)
             try:
+                banked = {k: v for k, v in out.items()
+                          if k != "banked_prior"}
+                banked["when"] = time.strftime(
+                    "%Y-%m-%d %H:%M UTC bench.py capture", time.gmtime())
                 with open(os.path.join(outdir, "BENCH_BANKED.json"),
                           "w") as f:
-                    json.dump({k: v for k, v in out.items()
-                               if k != "banked_prior"}, f, indent=1)
+                    json.dump(banked, f, indent=1)
             except Exception:
                 pass
         if extra_print:
@@ -360,19 +367,23 @@ def main():
         except subprocess.TimeoutExpired:
             return False, tmo
 
-    # tunnel pre-probe: sets the congestion stretch factor for all rungs
-    probe_tmo = min(900.0, max(remaining() - 60, 60.0))
-    dot_ok, dot_s = dot_probe(probe_tmo)
-    state["notes"]["tunnel_dot_s"] = round(dot_s, 1)
-    slow = 2.0 if (not dot_ok or dot_s > 120) else 1.0
-    if not dot_ok:
-        state["notes"]["tunnel"] = "dot probe failed — tunnel down or wedged"
-    elif slow > 1:
-        state["notes"]["tunnel"] = "congested (dot > 120s); timeouts x2"
-    bank()
-
     only = [s for s in args.only.split(",") if s]
+    # the try must cover EVERYTHING after handler installation — the
+    # pre-probe can block for minutes, and a TERM landing there would
+    # otherwise leak the handler past main()
     try:
+        # tunnel pre-probe: sets the congestion stretch for all rungs
+        probe_tmo = min(900.0, max(remaining() - 60, 60.0))
+        dot_ok, dot_s = dot_probe(probe_tmo)
+        state["notes"]["tunnel_dot_s"] = round(dot_s, 1)
+        slow = 2.0 if (not dot_ok or dot_s > 120) else 1.0
+        if not dot_ok:
+            state["notes"]["tunnel"] = \
+                "dot probe failed — tunnel down or wedged"
+        elif slow > 1:
+            state["notes"]["tunnel"] = "congested (dot > 120s); timeouts x2"
+        bank()
+
         for name, kind, model_name, h, w, batch, tmo in ATTEMPTS:
             if only and name not in only:
                 continue

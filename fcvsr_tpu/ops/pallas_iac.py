@@ -560,10 +560,9 @@ def _chain_kernel(rows0_ref, bxs_ref, fxt_ref, fyt_ref, src_hbm, k_ref,
     def _to_out():
         out_ref[0] = out.astype(out_ref.dtype)
 
-    # the grid's final write has no successor to wait it
-    @pl.when(jnp.logical_and(step == total - 1, it < ac - 1))
-    def _drain():
-        wdesc(step).wait()
+    # no end-of-grid drain is needed: the final grid step always runs
+    # iteration ac-1, which never writes a buffer (its tiles go to
+    # out_ref), and every earlier write was waited by its successor
 
 
 def _chain_call(src, flows, ktr, fin_rows, h, w, radius, tile_rows, ac,
@@ -675,6 +674,46 @@ def _rows_vmappable(chunk, h, w, radius, tile_rows, act, interpret):
         out = base(*(bat(a, ib)
                      for a, ib in zip((src, fxt, fyt, ktr, fin),
                                       in_batched)))
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return wrapped
+
+
+@functools.lru_cache(maxsize=None)
+def _rows_vmappable_kf(chunk, h, w, radius, tile_rows, act, interpret):
+    """custom_vmap wrapper for the fused-kernel-prediction iteration —
+    same batch-fold rule as :func:`_rows_vmappable` (the HBM manual-DMA
+    source cannot be block-indexed under vmap; ETC mode vmaps the whole
+    forward), with the (f0, Wsel, bias) kernel parts in place of ktr.
+    wsel/bias have no batch dim and broadcast-fold like any unbatched
+    operand; a folded wsel stays identical across the folded batch, so
+    the kernel's per-iteration chunk slice still reads the right block.
+    """
+
+    def base(src, fxt, fyt, f0r, wst, bst, fin):
+        return _rows_call(src, fxt, fyt, None, fin, chunk, h, w, radius,
+                          tile_rows, act, interpret,
+                          kparts=(f0r, wst, bst))
+
+    wrapped = jax.custom_batching.custom_vmap(base)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, src, fxt, fyt, f0r, wst, bst, fin):  # noqa: ANN001
+        def bat(a, is_b):
+            if is_b:
+                return a.reshape((-1,) + a.shape[2:])
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape) \
+                .reshape((-1,) + a.shape[1:])
+
+        # wsel/bias are per-iteration constants: folding them along batch
+        # would break the chunk BlockSpec (its dim-0 index selects the
+        # ITERATION, not the batch) — they must stay unbatched
+        assert not in_batched[4] and not in_batched[5], \
+            "kernel-prediction weights cannot carry a vmapped axis"
+        out = base(*(bat(a, ib) for a, ib in
+                     zip((src, fxt, fyt, f0r), in_batched[:4])),
+                   wst, bst,
+                   bat(fin, in_batched[6]))
         return out.reshape((axis_size, -1) + out.shape[1:]), True
 
     return wrapped
@@ -804,9 +843,9 @@ def iac_fused_kf(feat_in, f0, wsel, bsel, offsets, ac_num: int,
     fxt_all, fyt_all = _tile_flow(offsets, h, tile_rows)
     cur = fin
     for i in range(ac_num):
-        cur = _rows_call(cur, fxt_all[i], fyt_all[i], None, fin, i, h, w,
-                         radius, tile_rows, i < ac_num - 1 or act_last,
-                         interpret, kparts=(f0_rows, wsel_t, bsel_t))
+        cur = _rows_vmappable_kf(i, h, w, radius, tile_rows,
+                                 i < ac_num - 1 or act_last, interpret)(
+            cur, fxt_all[i], fyt_all[i], f0_rows, wsel_t, bsel_t, fin)
     return _from_rows(cur, h, w, pad_v, pad_l)
 
 
@@ -844,8 +883,8 @@ def iac_fused_resident(feat_in, pred_k_tap_major, offsets, ac_num: int,
         tile_rows = _auto_tile_rows(h, pad_v)
     hp = h + 2 * pad_v
     itemsize = jnp.dtype(feat_in.dtype).itemsize
-    scratch = (2 * hp + 2 * (tile_rows + 2 * radius + 3) + tile_rows) \
-        * c * wp * itemsize
+    scratch = (2 * hp + 2 * (tile_rows + 2 * radius + 3)
+               + 2 * tile_rows) * c * wp * itemsize
     if scratch > _RESIDENT_BUDGET:
         return iac_fused(feat_in, pred_k_tap_major, offsets, ac_num,
                          channels, act_last, radius, tile_rows, k_rows,

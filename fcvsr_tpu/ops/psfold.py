@@ -88,6 +88,21 @@ def fold_ps_bias(bias: jnp.ndarray, r: int) -> jnp.ndarray:
     return jnp.repeat(bias, r * r)
 
 
+def _phase2_maps(x, folded, bias):
+    """The four per-phase 2x2 convs of an r=2-folded 3x3 kernel, in phase
+    order i*2+j — shared by the interleaving and block-layout combiners."""
+    assert folded.shape[0] == 3 and folded.shape[1] == 3, folded.shape
+    ys = []
+    for i in range(2):
+        for j in range(2):
+            sub = folded[i : i + 2, j : j + 2, :, i * 2 + j :: 4]
+            y = jax.lax.conv_general_dilated(
+                x, sub.astype(x.dtype), (1, 1), ((1 - i, i), (1 - j, j)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            ys.append(y + bias[i * 2 + j :: 4].astype(x.dtype))
+    return ys
+
+
 def conv_folded_phase2(x, folded, bias):
     """Apply an r=2-folded 3x3 conv as four per-phase 2x2 convs (exact).
 
@@ -109,16 +124,8 @@ def conv_folded_phase2(x, folded, bias):
     x: (B, H, W, Cin); folded: (3, 3, Cin, Cout) with Cout % 4 == 0;
     bias: (Cout,).
     """
-    assert folded.shape[0] == 3 and folded.shape[1] == 3, folded.shape
     b, h, w, _ = x.shape
-    ys = []
-    for i in range(2):
-        for j in range(2):
-            sub = folded[i : i + 2, j : j + 2, :, i * 2 + j :: 4]
-            y = jax.lax.conv_general_dilated(
-                x, sub.astype(x.dtype), (1, 1), ((1 - i, i), (1 - j, j)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            ys.append(y + bias[i * 2 + j :: 4].astype(x.dtype))
+    ys = _phase2_maps(x, folded, bias)
     return jnp.stack(ys, axis=-1).reshape(b, h, w, -1)
 
 
@@ -157,16 +164,7 @@ def conv_folded_phase2_blocked(x, folded, bias):
     2)`` with Cout % 4 == 0; bias: (Cout,).  Returns (B, H, W, Cout) in
     block layout.
     """
-    assert folded.shape[0] == 3 and folded.shape[1] == 3, folded.shape
-    ys = []
-    for i in range(2):
-        for j in range(2):
-            sub = folded[i : i + 2, j : j + 2, :, i * 2 + j :: 4]
-            y = jax.lax.conv_general_dilated(
-                x, sub.astype(x.dtype), (1, 1), ((1 - i, i), (1 - j, j)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            ys.append(y + bias[i * 2 + j :: 4].astype(x.dtype))
-    return jnp.concatenate(ys, axis=-1)
+    return jnp.concatenate(_phase2_maps(x, folded, bias), axis=-1)
 
 
 def conv_folded_tapmajor(x, folded, bias):

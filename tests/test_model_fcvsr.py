@@ -71,6 +71,26 @@ def test_etc_mode(small_model):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_etc_mode_deployment_flags(small_model):
+    """ETC mode (vmapped whole forward) must compose with the deployment
+    flag set — k_fused routes through a custom_vmap batch-fold rule like
+    the plain fused chain (round-5 review finding: bypassing the wrapper
+    broke vmap on the HBM manual-DMA input)."""
+    import dataclasses
+
+    model, params = small_model
+    dep = dataclasses.replace(model, warp_impl="pallas", k_fused=True,
+                              iac_dtype="bf16", head_dtype="bf16")
+    clip = jax.random.normal(jax.random.PRNGKey(6), (1, 13, 1, 16, 16))
+    out, base = fcvsr_etc_forward(dep, params, clip)
+    assert out.shape == (1, 7, 1, 64, 64)
+    single = dep.apply(params, clip[:, 3:10])
+    # bounded-deviation path: window 3 == the single forward of the same
+    # flags (identical code path, so tight)
+    np.testing.assert_allclose(np.asarray(out[:, 3]), np.asarray(single),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_mgaa_weight_sharing(small_model):
     """The three MGAA invocations share one parameter set (reference uses a
     single module instance, CVSR_freq.py:2665)."""
